@@ -1,0 +1,242 @@
+"""Batched Gauss-Newton / Levenberg-Marquardt pose-graph optimizer —
+replaces Ceres (reference: backend/pose_graph.h:52-73 SPARSE_SCHUR solve,
+voxgraph PoseGraph with odometry / loop-closure / submap-relative-pose /
+registration constraints; two-phase optimize at
+pose_graph_interface.cpp:32-49).
+
+TPU-first design: constraints live in fixed-capacity struct-of-array pools
+with validity masks; residuals and Jacobians are evaluated for ALL
+constraints at once with vmap'd autodiff; the normal equations are
+assembled into a dense (6N, 6N) system by scatter-add and solved with a
+damped Cholesky factorization on the MXU. Pose-graph sizes in this domain
+(hundreds of submaps) make the dense Hessian the *fast* choice on TPU —
+sparse factorization is replaced by hardware-friendly dense algebra; the
+multi-host Schur-complement split lives in `parallel/`.
+
+Gauge freedom is removed by holding fixed poses (reference holds submap 0
+constant, pose_graph_interface.cpp:10-30) via hard row/col masking.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core import geometry as geo
+
+Array = jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class RelPoseConstraints:
+    """Fixed-capacity pool of relative-pose constraints
+    r = sqrt_info · log(T_meas⁻¹ · T_i⁻¹ · T_j).
+
+    Covers the reference's odometry, loop-closure and submap-relative-pose
+    constraint types (voxgraph constraint taxonomy; MapFusion 6x6
+    information matrices per coxgraph_msgs/MapFusion.msg:1-6)."""
+
+    i: Array          # (M,) int32
+    j: Array          # (M,) int32
+    T_meas: Array     # (M,7)
+    sqrt_info: Array  # (M,6,6)
+    valid: Array      # (M,) bool
+    count: Array      # () int32 — insertion watermark
+
+    @staticmethod
+    def empty(capacity: int) -> "RelPoseConstraints":
+        return RelPoseConstraints(
+            i=jnp.zeros((capacity,), jnp.int32),
+            j=jnp.zeros((capacity,), jnp.int32),
+            T_meas=jnp.tile(geo.identity()[None], (capacity, 1)),
+            sqrt_info=jnp.tile(jnp.eye(6)[None], (capacity, 1, 1)),
+            valid=jnp.zeros((capacity,), jnp.bool_),
+            count=jnp.zeros((), jnp.int32),
+        )
+
+    def add(self, i, j, T_meas, sqrt_info=None) -> "RelPoseConstraints":
+        """Append one constraint (drops silently if pool is full)."""
+        k = self.count
+        si = jnp.eye(6) if sqrt_info is None else sqrt_info
+        return RelPoseConstraints(
+            i=self.i.at[k].set(jnp.asarray(i, jnp.int32), mode="drop"),
+            j=self.j.at[k].set(jnp.asarray(j, jnp.int32), mode="drop"),
+            T_meas=self.T_meas.at[k].set(T_meas, mode="drop"),
+            sqrt_info=self.sqrt_info.at[k].set(si, mode="drop"),
+            valid=self.valid.at[k].set(True, mode="drop"),
+            count=jnp.minimum(k + 1, self.i.shape[0]),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """LM solve parameters (reference budget: ≤4 s wall, tol 3e-3,
+    pose_graph.h:57-68 — here: fixed iteration count, fully on-device)."""
+
+    iterations: int = 15
+    damping_init: float = 1e-4
+    damping_up: float = 10.0
+    damping_down: float = 0.3
+    huber_delta: float = 0.0    # 0 = disabled
+    yaw_only: bool = False      # 4-DoF mode (AngleLocalParameterization)
+
+
+def _constraint_residual(Ti: Array, Tj: Array, T_meas: Array,
+                         sqrt_info: Array) -> Array:
+    """Whitened 6-residual of one relative-pose constraint."""
+    err = geo.compose(geo.inverse(T_meas), geo.compose(geo.inverse(Ti), Tj))
+    return sqrt_info @ geo.se3_log(err)
+
+
+def _residual_at_delta(di: Array, dj: Array, Ti: Array, Tj: Array,
+                       T_meas: Array, sqrt_info: Array) -> Array:
+    """Residual with right-multiplicative tangent perturbations applied."""
+    return _constraint_residual(
+        geo.compose(Ti, geo.se3_exp(di)), geo.compose(Tj, geo.se3_exp(dj)),
+        T_meas, sqrt_info,
+    )
+
+
+def residuals(poses: Array, c: RelPoseConstraints) -> Array:
+    """All whitened residuals (M,6); invalid rows are zero."""
+    r = jax.vmap(_constraint_residual)(
+        poses[c.i], poses[c.j], c.T_meas, c.sqrt_info
+    )
+    return jnp.where(c.valid[:, None], r, 0.0)
+
+
+def _build_normal_equations(poses: Array, c: RelPoseConstraints,
+                            cfg: SolverConfig, fixed: Array):
+    """→ (H (6N,6N), b (6N,), cost ())."""
+    n = poses.shape[0]
+    zero6 = jnp.zeros((6,))
+
+    def one(Ti, Tj, T_meas, sqrt_info):
+        r = _residual_at_delta(zero6, zero6, Ti, Tj, T_meas, sqrt_info)
+        Ji, Jj = jax.jacfwd(_residual_at_delta, argnums=(0, 1))(
+            zero6, zero6, Ti, Tj, T_meas, sqrt_info
+        )
+        return r, Ji, Jj
+
+    r, Ji, Jj = jax.vmap(one)(poses[c.i], poses[c.j], c.T_meas, c.sqrt_info)
+
+    # robust (Huber) weighting on the whitened residual norm
+    if cfg.huber_delta > 0:
+        nrm = jnp.linalg.norm(r, axis=-1)
+        w = jnp.sqrt(jnp.minimum(1.0, cfg.huber_delta / jnp.maximum(nrm, 1e-12)))
+        r = r * w[:, None]
+        Ji = Ji * w[:, None, None]
+        Jj = Jj * w[:, None, None]
+
+    m = c.valid[:, None]
+    r = jnp.where(m, r, 0.0)
+    Ji = jnp.where(m[..., None], Ji, 0.0)
+    Jj = jnp.where(m[..., None], Jj, 0.0)
+
+    if cfg.yaw_only:
+        # 4-DoF: only (yaw, x, y, z) vary — zero the roll/pitch columns
+        keep = jnp.array([0.0, 0.0, 1.0, 1.0, 1.0, 1.0])
+        Ji = Ji * keep[None, None, :]
+        Jj = Jj * keep[None, None, :]
+
+    # block assembly by scatter-add into (N,6,N,6)
+    H = jnp.zeros((n, 6, n, 6))
+    b = jnp.zeros((n, 6))
+    Hii = jnp.einsum("mab,mac->mbc", Ji, Ji)
+    Hjj = jnp.einsum("mab,mac->mbc", Jj, Jj)
+    Hij = jnp.einsum("mab,mac->mbc", Ji, Jj)
+    H = H.at[c.i, :, c.i, :].add(Hii)
+    H = H.at[c.j, :, c.j, :].add(Hjj)
+    H = H.at[c.i, :, c.j, :].add(Hij)
+    H = H.at[c.j, :, c.i, :].add(jnp.swapaxes(Hij, -1, -2))
+    b = b.at[c.i].add(jnp.einsum("mab,ma->mb", Ji, r))
+    b = b.at[c.j].add(jnp.einsum("mab,ma->mb", Jj, r))
+
+    H = H.reshape(6 * n, 6 * n)
+    b = b.reshape(6 * n)
+
+    # gauge fixing: zero rows/cols of fixed poses (and, in 4-DoF mode, the
+    # roll/pitch coordinates of every pose), unit diagonal
+    fmask = jnp.repeat(fixed, 6)
+    if cfg.yaw_only:
+        frozen_coords = jnp.tile(
+            jnp.array([True, True, False, False, False, False]), n
+        )
+        fmask = fmask | frozen_coords
+    H = jnp.where(fmask[:, None] | fmask[None, :], 0.0, H)
+    H = H + jnp.diag(fmask.astype(H.dtype))
+    b = jnp.where(fmask, 0.0, b)
+    cost = 0.5 * jnp.sum(r * r)
+    return H, b, cost
+
+
+def _apply_delta(poses: Array, delta: Array, cfg: SolverConfig) -> Array:
+    d = delta.reshape(-1, 6)
+    if cfg.yaw_only:
+        d = d * jnp.array([0.0, 0.0, 1.0, 1.0, 1.0, 1.0])[None, :]
+    return jax.vmap(lambda T, x: geo.compose(T, geo.se3_exp(x)))(poses, d)
+
+
+def _total_cost(poses: Array, c: RelPoseConstraints, cfg: SolverConfig):
+    r = residuals(poses, c)
+    if cfg.huber_delta > 0:
+        nrm = jnp.linalg.norm(r, axis=-1)
+        w = jnp.minimum(1.0, cfg.huber_delta / jnp.maximum(nrm, 1e-12))
+        return 0.5 * jnp.sum(w * nrm * nrm)
+    return 0.5 * jnp.sum(r * r)
+
+
+class SolveResult(NamedTuple):
+    poses: Array
+    cost: Array          # final cost
+    initial_cost: Array
+    iterations: Array
+
+
+@partial(jax.jit, static_argnums=(2,))
+def optimize(poses: Array, constraints: RelPoseConstraints,
+             cfg: SolverConfig = SolverConfig(),
+             fixed: Optional[Array] = None) -> SolveResult:
+    """LM optimization of poses (N,7) under relative-pose constraints.
+
+    fixed: (N,) bool — poses held constant (default: pose 0 only, matching
+    the reference's non-robocentric mode, pose_graph_interface.cpp:10-30).
+    """
+    n = poses.shape[0]
+    if fixed is None:
+        fixed = jnp.zeros((n,), jnp.bool_).at[0].set(True)
+
+    init_cost = _total_cost(poses, constraints, cfg)
+
+    def step(carry, _):
+        poses, lam = carry
+        H, b, cost = _build_normal_equations(poses, constraints, cfg, fixed)
+        Hd = H + lam * jnp.diag(jnp.maximum(jnp.diag(H), 1e-8))
+        delta = jax.scipy.linalg.solve(
+            Hd, -b, assume_a="pos",
+        )
+        new_poses = _apply_delta(poses, delta, cfg)
+        new_cost = _total_cost(new_poses, constraints, cfg)
+        accept = new_cost < cost
+        poses = jax.tree.map(
+            lambda a, b_: jnp.where(accept, a, b_), new_poses, poses
+        )
+        lam = jnp.where(accept, lam * cfg.damping_down, lam * cfg.damping_up)
+        lam = jnp.clip(lam, 1e-9, 1e6)
+        return (poses, lam), new_cost
+
+    (out_poses, _), costs = jax.lax.scan(
+        step, (poses, jnp.asarray(cfg.damping_init)), None,
+        length=cfg.iterations,
+    )
+    return SolveResult(
+        poses=out_poses,
+        cost=_total_cost(out_poses, constraints, cfg),
+        initial_cost=init_cost,
+        iterations=jnp.asarray(cfg.iterations),
+    )

@@ -1,0 +1,108 @@
+import dataclasses
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from coxgraph_tpu.core import voxel as vx
+from coxgraph_tpu.eval import export
+from coxgraph_tpu.frontends import synthetic as syn
+from coxgraph_tpu.ops import mesh as mesh_ops
+from coxgraph_tpu.ops import tsdf as tsdf_ops
+
+SPEC = vx.VoxelGridSpec(voxel_size=0.1, voxels_per_side=8, grid_dim=16,
+                        max_blocks=256, truncation=0.3)
+
+
+def make_sphere_layer(center, radius):
+    layer = vx.create_tsdf_layer(SPEC)
+    # allocate all blocks within radius+margin of center
+    r = np.arange(-2, 2)
+    bx, by, bz = np.meshgrid(r, r, r, indexing="ij")
+    coords = jnp.asarray(
+        np.stack([bx, by, bz], axis=-1).reshape(-1, 3), dtype=jnp.int32
+    )
+    layer = vx.allocate_blocks(SPEC, layer, coords)
+    centers = vx.voxel_centers_of_block(SPEC, layer.block_coords)
+    sdf = jnp.linalg.norm(centers - jnp.asarray(center), axis=-1) - radius
+    live = (jnp.arange(SPEC.max_blocks) < layer.num_blocks)[:, None, None, None]
+    return dataclasses.replace(
+        layer,
+        sdf=jnp.where(live, sdf, layer.sdf),
+        weight=jnp.where(live, 1.0, 0.0),
+    )
+
+
+def test_tet_table_is_consistent():
+    tri, n = mesh_ops._TRI_EDGES_TABLE, mesh_ops._N_TRIS_TABLE
+    assert n[0] == 0 and n[15] == 0
+    for case in range(1, 15):
+        bits = bin(case).count("1")
+        assert n[case] == (1 if bits in (1, 3) else 2)
+        for t in range(n[case]):
+            assert (tri[case, t] >= 0).all()
+
+
+def test_sphere_mesh_on_surface():
+    layer = make_sphere_layer([0.05, -0.02, 0.03], 0.5)
+    verts, colors = mesh_ops.extract_mesh(SPEC, layer, chunk=32)
+    assert verts.shape[0] > 200
+    # every vertex must lie on the analytic sphere within ~half a voxel
+    d = np.abs(np.linalg.norm(verts.reshape(-1, 3)
+                              - np.array([0.05, -0.02, 0.03]), axis=-1) - 0.5)
+    assert d.max() < 0.5 * SPEC.voxel_size
+    assert np.median(d) < 0.1 * SPEC.voxel_size
+
+    # normals must point outward (positive sdf side)
+    tri = verts
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    c = tri.mean(axis=1) - np.array([0.05, -0.02, 0.03])
+    outward = (n * c).sum(axis=-1) > 0
+    assert outward.mean() > 0.99
+
+    # surface area ≈ 4πr² within 15% (tet meshes slightly overtessellate)
+    area = 0.5 * np.linalg.norm(n, axis=-1).sum()
+    assert abs(area - 4 * np.pi * 0.25) / (4 * np.pi * 0.25) < 0.15
+
+
+def test_mesh_from_integrated_tsdf(tmp_path):
+    intr = syn.PinholeIntrinsics().scaled(0.125)
+    cfg = tsdf_ops.TsdfIntegratorConfig(max_touched_blocks=512)
+    spec = vx.VoxelGridSpec(voxel_size=0.1, voxels_per_side=8, grid_dim=32,
+                            max_blocks=4096, truncation=0.3)
+    scene = syn.default_scene()
+    traj = syn.orbit_trajectory(6, scene.room_center, radius=2.5)
+    layer = vx.create_tsdf_layer(spec)
+    for i in range(6):
+        depth, color = syn.render_depth(scene, intr, traj[i])
+        layer = tsdf_ops.integrate_frame(spec, cfg, intr, layer, depth, color,
+                                         traj[i])
+    verts, cols = mesh_ops.extract_mesh(spec, layer, min_weight=0.05)
+    assert verts.shape[0] > 1000
+    # all mesh vertices near the true scene surface
+    sdf = np.asarray(syn.scene_sdf(scene, jnp.asarray(verts.reshape(-1, 3))))
+    assert np.quantile(np.abs(sdf), 0.9) < 2.0 * spec.voxel_size
+
+    # PLY round trip
+    p = os.path.join(tmp_path, "mesh.ply")
+    nv = export.write_ply(p, verts, cols)
+    rv, rf = export.read_ply_counts(p)
+    assert rv == nv > 0 and rf == verts.shape[0]
+
+
+def test_tum_roundtrip(tmp_path):
+    from coxgraph_tpu.core import geometry as geo
+    import jax
+
+    poses = jax.vmap(
+        lambda s: geo.make(
+            geo.so3_exp(jax.random.normal(jax.random.PRNGKey(s), (3,)) * 0.3),
+            jax.random.normal(jax.random.PRNGKey(s + 100), (3,)),
+        )
+    )(jnp.arange(5))
+    stamps = np.arange(5) * 0.1
+    p = os.path.join(tmp_path, "traj.tum")
+    export.write_tum_trajectory(p, stamps, np.asarray(poses))
+    s2, p2 = export.read_tum_trajectory(p)
+    np.testing.assert_allclose(s2, stamps, atol=1e-6)
+    np.testing.assert_allclose(p2, np.asarray(poses), atol=1e-5)

@@ -1,0 +1,141 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from coxgraph_tpu.core import geometry as geo
+from coxgraph_tpu.solver import pose_graph as pg
+
+
+def chain_poses(n, key, step_scale=0.5):
+    """Ground-truth chain of n poses with random relative motions."""
+    keys = jax.random.split(key, n - 1)
+    rels = jax.vmap(
+        lambda k: geo.se3_exp(
+            jnp.concatenate([
+                jax.random.normal(k, (3,)) * 0.2,
+                jax.random.normal(jax.random.fold_in(k, 1), (3,)) * step_scale,
+            ])
+        )
+    )(keys)
+    poses = [geo.identity()]
+    for i in range(n - 1):
+        poses.append(geo.compose(poses[-1], rels[i]))
+    return jnp.stack(poses), rels
+
+
+def perturb(poses, key, rot=0.1, trans=0.3):
+    n = poses.shape[0]
+    keys = jax.random.split(key, n)
+    noise = jax.vmap(
+        lambda k: jnp.concatenate([
+            jax.random.normal(k, (3,)) * rot,
+            jax.random.normal(jax.random.fold_in(k, 1), (3,)) * trans,
+        ])
+    )(keys)
+    noisy = jax.vmap(lambda T, x: geo.compose(T, geo.se3_exp(x)))(poses, noise)
+    return noisy.at[0].set(poses[0])  # keep gauge anchor exact
+
+
+def test_odometry_chain_recovers_exactly():
+    """Perfect odometry constraints must pull a perturbed chain back."""
+    gt, rels = chain_poses(10, jax.random.PRNGKey(0))
+    c = pg.RelPoseConstraints.empty(32)
+    for i in range(9):
+        c = c.add(i, i + 1, rels[i])
+    noisy = perturb(gt, jax.random.PRNGKey(1))
+    res = pg.optimize(noisy, c, pg.SolverConfig(iterations=20))
+    assert float(res.cost) < 1e-8
+    err = jax.vmap(lambda a, b: geo.se3_log(geo.relative(a, b)))(res.poses, gt)
+    assert float(jnp.abs(err).max()) < 1e-3
+
+
+def test_loop_closure_distributes_drift():
+    """Chain + end-to-start loop closure: residuals split across the chain."""
+    gt, rels = chain_poses(8, jax.random.PRNGKey(2))
+    c = pg.RelPoseConstraints.empty(32)
+    # odometry with systematic drift
+    for i in range(7):
+        drift = geo.se3_exp(jnp.array([0.0, 0.0, 0.02, 0.05, 0.0, 0.0]))
+        c = c.add(i, i + 1, geo.compose(rels[i], drift))
+    # exact loop closure 0 → 7
+    c = c.add(0, 7, geo.relative(gt[0], gt[7]),
+              sqrt_info=10.0 * jnp.eye(6))
+    res = pg.optimize(gt, c, pg.SolverConfig(iterations=25))
+    # loop closure must dominate: end pose near ground truth
+    end_err = geo.se3_log(geo.relative(res.poses[7], gt[7]))
+    assert float(jnp.linalg.norm(end_err)) < 0.02
+    assert float(res.cost) < float(res.initial_cost)
+
+
+def test_invalid_constraints_ignored():
+    gt, rels = chain_poses(5, jax.random.PRNGKey(3))
+    c = pg.RelPoseConstraints.empty(16)
+    for i in range(4):
+        c = c.add(i, i + 1, rels[i])
+    noisy = perturb(gt, jax.random.PRNGKey(4))
+    res1 = pg.optimize(noisy, c)
+    # same solve with extra garbage rows marked invalid
+    c2 = pg.RelPoseConstraints(
+        i=c.i.at[10].set(1),
+        j=c.j.at[10].set(3),
+        T_meas=c.T_meas.at[10].set(geo.se3_exp(jnp.ones(6))),
+        sqrt_info=c.sqrt_info,
+        valid=c.valid,  # row 10 stays invalid
+        count=c.count,
+    )
+    res2 = pg.optimize(noisy, c2)
+    np.testing.assert_allclose(
+        np.asarray(res1.poses), np.asarray(res2.poses), atol=1e-6
+    )
+
+
+def test_huber_rejects_outlier():
+    gt, rels = chain_poses(6, jax.random.PRNGKey(5))
+    c = pg.RelPoseConstraints.empty(16)
+    for i in range(5):
+        c = c.add(i, i + 1, rels[i], sqrt_info=10.0 * jnp.eye(6))
+    # gross outlier loop closure (weak prior info, as a bad MapFusion would be)
+    c = c.add(0, 5, geo.se3_exp(jnp.array([0.5, 0.5, 0.5, 3.0, -2.0, 1.0])))
+    noisy = perturb(gt, jax.random.PRNGKey(6), rot=0.02, trans=0.05)
+    res_plain = pg.optimize(noisy, c, pg.SolverConfig(iterations=25))
+    res_rob = pg.optimize(noisy, c, pg.SolverConfig(iterations=25,
+                                                    huber_delta=0.3))
+    def ate(poses):
+        d = jax.vmap(lambda a, b: jnp.linalg.norm(
+            geo.translation(a) - geo.translation(b)))(poses, gt)
+        return float(jnp.sqrt(jnp.mean(d ** 2)))
+    assert ate(res_rob.poses) < ate(res_plain.poses)
+    assert ate(res_rob.poses) < 0.2
+
+
+def test_yaw_only_mode():
+    """4-DoF solve (client-frame alignment, backend/node_collection.h:21-25):
+    recover a yaw+translation offset between two pose sets."""
+    true_offset = geo.from_xyzyaw(jnp.array([1.0, -2.0, 0.5, 0.8]))
+    poses = jnp.stack([geo.identity(), true_offset])
+    c = pg.RelPoseConstraints.empty(4).add(0, 1, true_offset)
+    noisy = poses.at[1].set(
+        geo.compose(true_offset, geo.from_xyzyaw(jnp.array([0.3, 0.3, -0.2, 0.4])))
+    )
+    res = pg.optimize(noisy, c, pg.SolverConfig(iterations=15, yaw_only=True))
+    err = geo.se3_log(geo.relative(res.poses[1], true_offset))
+    assert float(jnp.linalg.norm(err)) < 1e-4
+    # roll/pitch of the solution must remain zero
+    xyzyaw = geo.to_xyzyaw(res.poses[1])
+    back = geo.from_xyzyaw(xyzyaw)
+    err2 = geo.se3_log(geo.relative(back, res.poses[1]))
+    assert float(jnp.linalg.norm(err2[:3])) < 1e-5
+
+
+def test_fixed_poses_respected():
+    gt, rels = chain_poses(5, jax.random.PRNGKey(8))
+    c = pg.RelPoseConstraints.empty(8)
+    for i in range(4):
+        c = c.add(i, i + 1, rels[i])
+    noisy = perturb(gt, jax.random.PRNGKey(9))
+    fixed = jnp.array([True, False, False, True, False])
+    res = pg.optimize(noisy, c, pg.SolverConfig(iterations=10), fixed=fixed)
+    np.testing.assert_allclose(np.asarray(res.poses[3]), np.asarray(noisy[3]),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(res.poses[0]), np.asarray(noisy[0]),
+                               atol=1e-7)
