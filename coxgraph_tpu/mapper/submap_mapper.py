@@ -1,0 +1,250 @@
+"""Per-robot submap mapper — the client frontend. Replaces
+voxgraph::VoxgraphMapper + cblox submap collections + the client MapServer
+(reference: CoxgraphClient ⊂ VoxgraphMapper, coxgraph_client.h:33-70;
+submap interval semantics from coxgraph_client.yaml
+``submap_creation_interval: 10``; merged-map publishing from
+map_server.cpp:59-117).
+
+Design: a SubmapCollection is ONE pytree whose leaves carry a leading
+submap axis (S, ...), so the whole mapper state jits, donates, shards, and
+checkpoints as plain arrays. A submap = posed TSDF layer + time interval +
+in-submap pose history (cblox TsdfEsdfSubmap + voxgraph VoxgraphSubmap
+capability, SURVEY.md §2.9). Frame integration is a pure jitted step;
+submap rollover is a separate jitted transition triggered by the host (the
+timeline check is host-driven in the reference too — its submapCallback).
+
+Pose histories are stored **in the submap frame**, so a pose-graph update
+that moves T_odom_submap re-poses the whole trajectory segment for free —
+this is how the reference ships submaps once and patches poses afterwards
+(coxgraph_client.cpp:60-66, 135-153).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import geometry as geo
+from ..core import voxel as vx
+from ..frontends.synthetic import PinholeIntrinsics
+from ..ops import merge as merge_ops
+from ..ops import tsdf as tsdf_ops
+from ..solver import pose_graph as pg
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class MapperConfig:
+    """Static mapper parameters (reference operating points in
+    BASELINE.md)."""
+
+    spec: vx.VoxelGridSpec = vx.VoxelGridSpec()
+    integrator: tsdf_ops.TsdfIntegratorConfig = tsdf_ops.TsdfIntegratorConfig()
+    intrinsics: PinholeIntrinsics = PinholeIntrinsics()
+    max_submaps: int = 32
+    max_history: int = 512            # poses per submap history
+    submap_interval: float = 10.0     # s (coxgraph_client.yaml:5)
+    max_constraints: int = 256
+    odom_sqrt_info: float = 20.0      # odometry constraint confidence
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SubmapCollection:
+    """Stacked submaps: every TsdfLayer leaf gains a leading (S,) axis."""
+
+    layers: vx.TsdfLayer              # leaves (S, ...)
+    T_odom_submap: Array              # (S,7) — optimized by PGO
+    start_time: Array                 # (S,)
+    end_time: Array                   # (S,)
+    hist_stamps: Array                # (S,H)
+    hist_poses: Array                 # (S,H,7) T_submap_cam
+    hist_count: Array                 # (S,) int32
+    num_submaps: Array                # () int32
+
+    @property
+    def active(self) -> Array:
+        return jnp.maximum(self.num_submaps - 1, 0)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MapperState:
+    collection: SubmapCollection
+    constraints: pg.RelPoseConstraints   # local pose graph (odometry + loops)
+    frame_count: Array                   # () int32
+
+
+def create_collection(cfg: MapperConfig) -> SubmapCollection:
+    S, H = cfg.max_submaps, cfg.max_history
+    empty = vx.create_tsdf_layer(cfg.spec)
+    layers = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (S,) + x.shape).copy(), empty
+    )
+    return SubmapCollection(
+        layers=layers,
+        T_odom_submap=jnp.tile(geo.identity()[None], (S, 1)),
+        start_time=jnp.zeros((S,)),
+        end_time=jnp.zeros((S,)),
+        hist_stamps=jnp.zeros((S, H)),
+        hist_poses=jnp.tile(geo.identity()[None, None], (S, H, 1)),
+        hist_count=jnp.zeros((S,), jnp.int32),
+        num_submaps=jnp.zeros((), jnp.int32),
+    )
+
+
+def create_mapper(cfg: MapperConfig) -> MapperState:
+    return MapperState(
+        collection=create_collection(cfg),
+        constraints=pg.RelPoseConstraints.empty(cfg.max_constraints),
+        frame_count=jnp.zeros((), jnp.int32),
+    )
+
+
+def _get_layer(layers: vx.TsdfLayer, k: Array) -> vx.TsdfLayer:
+    return jax.tree.map(
+        lambda x: jax.lax.dynamic_index_in_dim(x, k, 0, keepdims=False), layers
+    )
+
+
+def _set_layer(layers: vx.TsdfLayer, k: Array,
+               layer: vx.TsdfLayer) -> vx.TsdfLayer:
+    return jax.tree.map(
+        lambda x, y: jax.lax.dynamic_update_index_in_dim(x, y, k, 0),
+        layers, layer,
+    )
+
+
+@partial(jax.jit, static_argnums=0, donate_argnums=1)
+def start_submap(cfg: MapperConfig, state: MapperState, T_odom_cam: Array,
+                 t: Array) -> MapperState:
+    """Open a new submap anchored at the current odometry pose, and chain an
+    odometry constraint from the previous submap (the voxgraph submap
+    chain; reference adds one relative constraint per consecutive submap
+    pair — updateSubmapRPConstraints, pose_graph_interface.cpp:51-71)."""
+    col = state.collection
+    k = col.num_submaps  # new slot
+    prev = jnp.maximum(k - 1, 0)
+    T_prev_new = geo.relative(col.T_odom_submap[prev], T_odom_cam)
+
+    col = dataclasses.replace(
+        col,
+        T_odom_submap=col.T_odom_submap.at[k].set(T_odom_cam, mode="drop"),
+        start_time=col.start_time.at[k].set(t, mode="drop"),
+        end_time=col.end_time.at[k].set(t, mode="drop"),
+        hist_count=col.hist_count.at[k].set(0, mode="drop"),
+        num_submaps=jnp.minimum(k + 1, cfg.max_submaps),
+    )
+    constraints = jax.lax.cond(
+        k > 0,
+        lambda c: c.add(prev, k, T_prev_new,
+                        cfg.odom_sqrt_info * jnp.eye(6)),
+        lambda c: c,
+        state.constraints,
+    )
+    return dataclasses.replace(state, collection=col, constraints=constraints)
+
+
+@partial(jax.jit, static_argnums=0, donate_argnums=1)
+def integrate(cfg: MapperConfig, state: MapperState, depth: Array,
+              color: Optional[Array], T_odom_cam: Array,
+              t: Array) -> MapperState:
+    """Integrate one RGB-D frame into the active submap and append to its
+    pose history (reference hot path 3.2)."""
+    col = state.collection
+    k = col.active
+    T_sm_cam = geo.relative(col.T_odom_submap[k], T_odom_cam)
+
+    layer = _get_layer(col.layers, k)
+    layer = tsdf_ops.integrate_frame(
+        cfg.spec, cfg.integrator, cfg.intrinsics, layer, depth, color, T_sm_cam
+    )
+    layers = _set_layer(col.layers, k, layer)
+
+    h = jnp.minimum(col.hist_count[k], cfg.max_history - 1)
+    col = dataclasses.replace(
+        col,
+        layers=layers,
+        end_time=col.end_time.at[k].set(t, mode="drop"),
+        hist_stamps=col.hist_stamps.at[k, h].set(t, mode="drop"),
+        hist_poses=col.hist_poses.at[k, h].set(T_sm_cam, mode="drop"),
+        hist_count=col.hist_count.at[k].set(h + 1, mode="drop"),
+    )
+    return dataclasses.replace(
+        state, collection=col, frame_count=state.frame_count + 1
+    )
+
+
+def mapper_step(cfg: MapperConfig, state: MapperState, depth: Array,
+                color: Optional[Array], T_odom_cam: Array,
+                t: float) -> Tuple[MapperState, bool]:
+    """Host-orchestrated step: roll the submap if the interval elapsed,
+    then integrate. Returns (state, new_submap_started)."""
+    col = state.collection
+    n = int(col.num_submaps)
+    started = False
+    if n == 0 or (float(t) - float(col.start_time[n - 1])
+                  >= cfg.submap_interval - 1e-6):
+        state = start_submap(cfg, state, T_odom_cam, jnp.asarray(t, jnp.float32))
+        started = True
+    state = integrate(cfg, state, depth, color, T_odom_cam,
+                      jnp.asarray(t, jnp.float32))
+    return state, started
+
+
+def optimize_local(cfg: MapperConfig, state: MapperState,
+                   solver_cfg: pg.SolverConfig = pg.SolverConfig()) -> MapperState:
+    """Run the local pose graph over submap poses (voxgraph's per-submap
+    PGO; constraints = odometry chain + any added loop closures)."""
+    res = pg.optimize(state.collection.T_odom_submap, state.constraints,
+                      solver_cfg)
+    col = dataclasses.replace(state.collection, T_odom_submap=res.poses)
+    return dataclasses.replace(state, collection=col)
+
+
+def add_loop_closure(state: MapperState, i: int, j: int, T_i_j: Array,
+                     sqrt_info: Optional[Array] = None) -> MapperState:
+    """Add an intra-robot loop-closure constraint between submaps i and j
+    (reference: loopClosureCallback → voxgraph loop topic)."""
+    return dataclasses.replace(
+        state, constraints=state.constraints.add(i, j, T_i_j, sqrt_info)
+    )
+
+
+def merged_layer(cfg: MapperConfig, col: SubmapCollection) -> vx.TsdfLayer:
+    """Rebuild the merged odom-frame TSDF from all submaps (client
+    MapServer updatePastTsdf, map_server.cpp:59-73)."""
+    merged = vx.create_tsdf_layer(cfg.spec)
+    for k in range(int(col.num_submaps)):
+        merged = merge_ops.merge_layer_into(
+            cfg.spec, merged, _get_layer(col.layers, jnp.asarray(k)),
+            col.T_odom_submap[k],
+        )
+    return merged
+
+
+def trajectory(col: SubmapCollection) -> Tuple[Array, Array]:
+    """Full odom-frame trajectory (stamps (N,), poses (N,7)) from per-submap
+    histories re-posed by the (possibly optimized) submap poses — the
+    reference's getPoseHistory (submap_collection.h:95-144)."""
+    import numpy as np
+
+    stamps, poses = [], []
+    n = int(col.num_submaps)
+    for k in range(n):
+        h = int(col.hist_count[k])
+        if h == 0:
+            continue
+        T = jax.vmap(lambda p: geo.compose(col.T_odom_submap[k], p))(
+            col.hist_poses[k, :h]
+        )
+        stamps.append(np.asarray(col.hist_stamps[k, :h]))
+        poses.append(np.asarray(T))
+    if not stamps:
+        return jnp.zeros((0,)), jnp.zeros((0, 7))
+    return jnp.asarray(np.concatenate(stamps)), jnp.asarray(np.concatenate(poses))

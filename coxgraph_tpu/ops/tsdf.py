@@ -65,6 +65,7 @@ def touched_block_slots(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
 
     Fixed capacity K = max_touched; extra blocks (beyond capacity) are
     dropped for this frame and picked up on later frames."""
+    max_touched = min(max_touched, layer.max_blocks)
     idx = vx.lookup_block(spec, layer, block_coords)
     ok = valid & (idx >= 0)
     touched = jnp.zeros((layer.max_blocks,), dtype=jnp.bool_)
@@ -76,12 +77,11 @@ def touched_block_slots(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
     return slots, mask
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2))
-def integrate_frame(spec: vx.VoxelGridSpec, cfg: TsdfIntegratorConfig,
-                    intr: PinholeIntrinsics, layer: vx.TsdfLayer,
-                    depth: Array, color: Optional[Array],
-                    T_sm_cam: Array) -> vx.TsdfLayer:
-    """Integrate one RGB-D frame into a TSDF layer.
+def integrate_frame_impl(spec: vx.VoxelGridSpec, cfg: TsdfIntegratorConfig,
+                         intr: PinholeIntrinsics, layer: vx.TsdfLayer,
+                         depth: Array, color: Optional[Array],
+                         T_sm_cam: Array) -> vx.TsdfLayer:
+    """Unjitted integrate_frame body (for vmap/shard_map composition).
 
     depth: (H,W) z-depth (0 = invalid); color: (H,W,3) in [0,1] or None;
     T_sm_cam: (7,) camera pose in the layer (submap) frame.
@@ -172,3 +172,9 @@ def integrate_frame(spec: vx.VoxelGridSpec, cfg: TsdfIntegratorConfig,
     return dataclasses.replace(
         layer, sdf=sdf_out, weight=w_out, color=color_out
     )
+
+
+integrate_frame = partial(jax.jit, static_argnums=(0, 1, 2))(
+    integrate_frame_impl
+)
+integrate_frame.__doc__ = "Jitted integrate_frame_impl."

@@ -211,6 +211,15 @@ def optimize(poses: Array, constraints: RelPoseConstraints,
     if fixed is None:
         fixed = jnp.zeros((n,), jnp.bool_).at[0].set(True)
 
+    # poses referenced by no valid constraint (unused fixed-capacity slots)
+    # are held constant — they would otherwise make H singular
+    touched = jnp.zeros((n,), jnp.bool_)
+    touched = touched.at[jnp.where(constraints.valid, constraints.i, n)].set(
+        True, mode="drop")
+    touched = touched.at[jnp.where(constraints.valid, constraints.j, n)].set(
+        True, mode="drop")
+    fixed = fixed | ~touched
+
     init_cost = _total_cost(poses, constraints, cfg)
 
     def step(carry, _):

@@ -1,0 +1,146 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from coxgraph_tpu.core import geometry as geo, voxel as vx
+from coxgraph_tpu.frontends import synthetic as syn
+from coxgraph_tpu.mapper import submap_mapper as sm
+from coxgraph_tpu.ops import merge as merge_ops
+from coxgraph_tpu.ops import tsdf as tsdf_ops
+
+SPEC = vx.VoxelGridSpec(voxel_size=0.1, voxels_per_side=8, grid_dim=32,
+                        max_blocks=1024, truncation=0.3)
+CFG = sm.MapperConfig(
+    spec=SPEC,
+    integrator=tsdf_ops.TsdfIntegratorConfig(max_touched_blocks=512),
+    intrinsics=syn.PinholeIntrinsics().scaled(0.125),
+    max_submaps=8,
+    max_history=64,
+    submap_interval=0.3,
+)
+
+
+def run_clip(n_frames=10, dt=0.1):
+    scene = syn.default_scene()
+    traj = syn.orbit_trajectory(n_frames, scene.room_center, radius=2.5,
+                                sweep=jnp.pi)
+    state = sm.create_mapper(CFG)
+    starts = 0
+    for i in range(n_frames):
+        depth, color = syn.render_depth(scene, CFG.intrinsics, traj[i])
+        state, started = sm.mapper_step(CFG, state, depth, color, traj[i],
+                                        i * dt)
+        starts += started
+    return scene, traj, state, starts
+
+
+def test_submap_rollover_and_history():
+    scene, traj, state, starts = run_clip()
+    col = state.collection
+    # 10 frames at 0.1s with 0.3s interval → submaps at t=0,0.3,0.6,0.9
+    assert int(col.num_submaps) == 4 == starts
+    assert int(col.hist_count[0]) == 3
+    # odometry constraints chained between consecutive submaps
+    assert int(state.constraints.count) == 3
+    # trajectory reconstruction matches ground truth (perfect odometry)
+    stamps, poses = sm.trajectory(col)
+    assert stamps.shape[0] == 10
+    err = np.linalg.norm(
+        np.asarray(geo.translation(poses)) -
+        np.asarray(geo.translation(traj)), axis=-1)
+    assert err.max() < 1e-4
+
+
+def test_submap_layers_hold_surface():
+    scene, traj, state, _ = run_clip()
+    col = state.collection
+    # each submap's layer should contain observed voxels near the true
+    # surface (in its own frame)
+    for k in range(int(col.num_submaps)):
+        layer = sm._get_layer(col.layers, jnp.asarray(k))
+        assert int(layer.num_blocks) > 5
+        live = np.asarray(layer.weight > 0.1)
+        centers = vx.voxel_centers_of_block(SPEC, layer.block_coords)
+        world = geo.transform_points(col.T_odom_submap[k], centers)
+        true = np.asarray(syn.scene_sdf(scene, world))
+        sdf = np.asarray(layer.sdf)
+        near = live & (np.abs(true) < 0.15)
+        assert near.sum() > 50
+        assert np.median(np.abs(sdf[near] - true[near])) < SPEC.voxel_size
+
+
+def test_merge_two_posed_layers():
+    """Golden test for mergeLayerAintoLayerB equivalence: two submaps of the
+    same sphere observed from different frames must fuse consistently."""
+    scene = syn.default_scene()
+    intr = CFG.intrinsics
+    icfg = CFG.integrator
+    traj = syn.orbit_trajectory(2, scene.room_center, radius=2.5,
+                                sweep=jnp.pi / 2)
+    # submap frames = the two camera poses
+    layers = []
+    for i in range(2):
+        depth, color = syn.render_depth(scene, intr, traj[i])
+        la = vx.create_tsdf_layer(SPEC)
+        la = tsdf_ops.integrate_frame(SPEC, icfg, intr, la, depth, color,
+                                      geo.identity())
+        layers.append(la)
+    # merge layer1 (frame B) into layer0's frame A: T_A_B = inv(TA) ∘ TB
+    T_A_B = geo.relative(traj[0], traj[1])
+    merged = merge_ops.merge_layer_into(SPEC, layers[0], layers[1], T_A_B)
+    live = np.asarray(merged.weight > 0.1)
+    centers = vx.voxel_centers_of_block(SPEC, merged.block_coords)
+    world = geo.transform_points(traj[0], centers)  # frame A → world
+    true = np.asarray(syn.scene_sdf(scene, world))
+    near = live & (np.abs(true) < 0.15)
+    assert near.sum() > 100
+    err = np.abs(np.asarray(merged.sdf)[near] - true[near])
+    assert np.median(err) < SPEC.voxel_size
+    # merged map must cover more than either input (union of views)
+    assert int(merged.num_blocks) >= int(layers[1].num_blocks)
+
+
+def test_merged_layer_covers_scene():
+    scene, traj, state, _ = run_clip()
+    merged = sm.merged_layer(CFG, state.collection)
+    assert int(merged.num_blocks) > 20
+    live = np.asarray(merged.weight > 0.2)
+    centers = vx.voxel_centers_of_block(SPEC, merged.block_coords)
+    true = np.asarray(syn.scene_sdf(scene, centers))
+    near = live & (np.abs(true) < 0.1)
+    assert near.sum() > 100
+    err = np.abs(np.asarray(merged.sdf)[near] - true[near])
+    assert np.median(err) < SPEC.voxel_size
+
+
+def test_local_pgo_fixes_drift():
+    """Loop closure between first/last submap corrects odometric drift."""
+    scene = syn.default_scene()
+    n = 12
+    traj = syn.orbit_trajectory(n, scene.room_center, radius=2.5)
+    noisy = syn.noisy_odometry(jax.random.PRNGKey(0), traj,
+                               rot_std=0.01, trans_std=0.03)
+    state = sm.create_mapper(CFG)
+    for i in range(n):
+        depth, color = syn.render_depth(scene, CFG.intrinsics, traj[i])
+        state, _ = sm.mapper_step(CFG, state, depth, color, noisy[i], i * 0.1)
+    col = state.collection
+    ns = int(col.num_submaps)
+    assert ns >= 3
+    # ground-truth submap poses = true pose at each submap's start frame
+    frame_of_submap = [int(round(float(col.start_time[k]) / 0.1))
+                       for k in range(ns)]
+    T_true = jnp.stack([traj[f] for f in frame_of_submap])
+    # drift before
+    drift0 = float(jnp.linalg.norm(
+        geo.translation(col.T_odom_submap[ns - 1]) -
+        geo.translation(T_true[ns - 1])))
+    # add exact loop closure submap 0 ↔ last
+    state = sm.add_loop_closure(
+        state, 0, ns - 1, geo.relative(T_true[0], T_true[ns - 1]),
+        50.0 * jnp.eye(6))
+    state = sm.optimize_local(CFG, state)
+    drift1 = float(jnp.linalg.norm(
+        geo.translation(state.collection.T_odom_submap[ns - 1]) -
+        geo.translation(T_true[ns - 1])))
+    assert drift1 < drift0 * 0.5 + 1e-3
