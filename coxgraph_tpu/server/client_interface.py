@@ -1,0 +1,140 @@
+"""Client-side serving interface — the in-process equivalent of the
+reference's client services + topics (get_client_submap / get_all_submaps /
+get_pose_history, coxgraph_client.cpp:38-45; time_line + map_pose_updates
+topics :120-153; loop-closure input).
+
+The server talks to every robot through this interface; an in-process
+robot wraps its MapperState, a remote robot would wrap a DCN queue — the
+server code is identical (SURVEY.md §5.8 two-tier fabric).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import geometry as geo
+from ..core import voxel as vx
+from ..mapper import submap_mapper as sm
+from ..solver import pose_graph as pg
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class SubmapHandle:
+    """One served submap (the ClientSubmap message equivalent:
+    coxgraph_msgs/ClientSubmap.msg — layer + pose + history)."""
+
+    client_id: int
+    client_submap_id: int
+    layer: vx.TsdfLayer
+    T_cli_submap: Array      # submap pose in the client's odom frame
+    start_time: float
+    end_time: float
+    hist_stamps: np.ndarray  # (H,)
+    hist_poses: Array        # (H,7) T_submap_cam
+
+
+class InProcessClient:
+    """Wraps a robot's mapper for server access. ``state`` is rebound by
+    the robot's own frame loop; the server only reads it and pushes pose
+    updates / loop closures back."""
+
+    def __init__(self, client_id: int, cfg: sm.MapperConfig,
+                 state: sm.MapperState):
+        self.client_id = client_id
+        self.cfg = cfg
+        self.state = state
+        self.sent_submaps: set[int] = set()   # send-once policy
+        self.bytes_sent = 0                   # bandwidth accounting
+
+    # -- topics the client publishes --------------------------------------
+
+    def timeline(self) -> Tuple[float, float]:
+        col = self.state.collection
+        n = int(col.num_submaps)
+        if n == 0:
+            return (0.0, -1.0)
+        return (float(col.start_time[0]), float(col.end_time[n - 1]))
+
+    # -- services ----------------------------------------------------------
+
+    def _submap_index_at(self, t: float) -> Optional[int]:
+        col = self.state.collection
+        n = int(col.num_submaps)
+        for k in range(n):
+            if float(col.start_time[k]) - 1e-6 <= t <= float(col.end_time[k]) + 1e-6:
+                return k
+        return None
+
+    def _handle(self, k: int) -> SubmapHandle:
+        col = self.state.collection
+        h = int(col.hist_count[k])
+        layer = sm._get_layer(col.layers, jnp.asarray(k))
+        if k not in self.sent_submaps:
+            self.sent_submaps.add(k)
+            self.bytes_sent += vx.memory_size_bytes(layer)
+        return SubmapHandle(
+            client_id=self.client_id,
+            client_submap_id=k,
+            layer=layer,
+            T_cli_submap=col.T_odom_submap[k],
+            start_time=float(col.start_time[k]),
+            end_time=float(col.end_time[k]),
+            hist_stamps=np.asarray(col.hist_stamps[k, :h]),
+            hist_poses=col.hist_poses[k, :h],
+        )
+
+    def get_submap_by_time(self, t: float) -> Optional[SubmapHandle]:
+        """None ⇒ t is ahead of this client's timeline ('future' fusion,
+        reference ReqState::FUTURE, client_handler.h:106)."""
+        k = self._submap_index_at(t)
+        return None if k is None else self._handle(k)
+
+    def get_all_submaps(self) -> List[SubmapHandle]:
+        return [self._handle(k)
+                for k in range(int(self.state.collection.num_submaps))]
+
+    def lookup_pose_in_submap(self, k: int, t: float) -> Array:
+        """T_submap_cam at time t from the submap's history
+        (voxgraph lookupPoseByTime, used at coxgraph_client.cpp:53-57)."""
+        col = self.state.collection
+        h = int(col.hist_count[k])
+        return geo.lookup_pose(col.hist_stamps[k, :h], col.hist_poses[k, :h],
+                               jnp.asarray(t))
+
+    # -- server → client ----------------------------------------------------
+
+    def receive_loop_closure(self, t_a: float, t_b: float, T_ta_tb: Array,
+                             sqrt_info: Optional[Array] = None) -> bool:
+        """Intra-client loop closure forwarded by the server
+        (ClientHandler::pubLoopClosureMsg path, coxgraph_server.cpp:217-222).
+        Converts time-stamped poses to a submap-level constraint."""
+        ka = self._submap_index_at(t_a)
+        kb = self._submap_index_at(t_b)
+        if ka is None or kb is None or ka == kb:
+            return False
+        T_sa_ta = self.lookup_pose_in_submap(ka, t_a)
+        T_sb_tb = self.lookup_pose_in_submap(kb, t_b)
+        T_sa_sb = geo.compose(
+            geo.compose(T_sa_ta, T_ta_tb), geo.inverse(T_sb_tb))
+        self.state = sm.add_loop_closure(self.state, ka, kb, T_sa_sb,
+                                         sqrt_info)
+        self.state = sm.optimize_local(self.cfg, self.state)
+        return True
+
+    def apply_pose_updates(self, updates: List[Tuple[int, Array]]) -> None:
+        """Server-optimized submap poses pushed back
+        (MapPoseUpdates topic, client_handler.cpp:106-129)."""
+        col = self.state.collection
+        T = col.T_odom_submap
+        for k, pose in updates:
+            T = T.at[k].set(pose)
+        self.state = dataclasses.replace(
+            self.state,
+            collection=dataclasses.replace(col, T_odom_submap=T))

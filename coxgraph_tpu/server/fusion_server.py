@@ -1,0 +1,370 @@
+"""Fusion server — the collaborative coordinator. Replaces CoxgraphServer
+(+ ClientHandler, server SubmapCollection, GlobalTfController,
+ClientTfOptimizer, DistributionController, ServerVisualizer entry points;
+reference: coxgraph_server.{h,cpp}, SURVEY.md §2.1/§3.3/§3.4).
+
+Host-orchestrated control logic around jitted solves: map-fusion messages
+gate through the refuse/future-queue state machine, submaps are pulled
+from clients on demand and registered once (send-once policy), the global
+pose graph runs the two-phase dense-registration solve, and client map
+frames are aligned with a 4-DoF yaw-only solve (ClientTfOptimizer,
+backend/node_collection.h:21-25).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import geometry as geo
+from ..core import voxel as vx
+from ..eval import export
+from ..ops import mesh as mesh_ops
+from ..ops import merge as merge_ops
+from ..ops import registration as reg
+from ..solver import pose_graph as pg
+from . import global_opt
+from .client_interface import InProcessClient, SubmapHandle
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class ServerConfig:
+    """Reference operating points: refuse_interval 20 s (server.yaml:15),
+    ≤4 future retries (kMaxFutureUncatchedN, coxgraph_server.h:288),
+    client cap (coxgraph_server.h:285)."""
+
+    spec: vx.VoxelGridSpec = vx.VoxelGridSpec()
+    max_clients: int = 3
+    max_submaps: int = 64
+    max_constraints: int = 512
+    refuse_interval: float = 20.0
+    max_future_retries: int = 4
+    odom_sqrt_info: float = 20.0
+    fusion_sqrt_info: float = 10.0
+    registration: reg.RegistrationConfig = reg.RegistrationConfig()
+    solver: pg.SolverConfig = pg.SolverConfig()
+    refine_fusion_with_icp: bool = True
+    registration_weight: float = 30.0
+
+
+@dataclasses.dataclass
+class MapFusionMsg:
+    """Inter-robot loop closure (coxgraph_msgs/MapFusion.msg:1-6)."""
+
+    from_client: int
+    from_time: float
+    to_client: int
+    to_time: float
+    T_from_to: Array
+    sqrt_info: Optional[Array] = None
+
+
+@dataclasses.dataclass
+class ServerSubmap:
+    sid: int
+    client_id: int
+    client_submap_id: int
+    layer: vx.TsdfLayer
+    T_cli_submap: Array     # original client-odom pose (chain constraints)
+    T_G_submap: Array       # optimized global pose (the PGO variable)
+    start_time: float
+    end_time: float
+    hist_stamps: np.ndarray
+    hist_poses: Array
+
+
+class CoxgraphServer:
+    def __init__(self, cfg: ServerConfig, clients: List[InProcessClient]):
+        assert len(clients) <= cfg.max_clients
+        self.cfg = cfg
+        self.clients: Dict[int, InProcessClient] = {
+            c.client_id: c for c in clients}
+        self.submaps: List[ServerSubmap] = []
+        self.cli_ser: Dict[Tuple[int, int], int] = {}
+        self.constraints = pg.RelPoseConstraints.empty(cfg.max_constraints)
+        self.T_G_cli: Dict[int, Array] = {
+            c.client_id: geo.identity() for c in clients}
+        self.fused: Dict[int, bool] = {c.client_id: c.client_id ==
+                                       clients[0].client_id
+                                       for c in clients}
+        self.last_fusion_time: Dict[Tuple[int, int], float] = {}
+        self.future_queue: List[Tuple[MapFusionMsg, int]] = []
+        self.in_control = True          # DistributionController
+        self.fusion_log: List[dict] = []
+
+    # ------------------------------------------------------------------
+    # Distribution controller (distribution_controller.h:49-87)
+    # ------------------------------------------------------------------
+
+    def control_trigger(self, in_control: bool) -> None:
+        self.in_control = in_control
+
+    def state_query(self) -> dict:
+        boxes = [global_opt.transformed_aabb(
+            global_opt.submap_aabb(self.cfg.spec, s.layer), s.T_G_submap)
+            for s in self.submaps]
+        return {"n_submaps": len(self.submaps),
+                "aabbs": boxes}
+
+    # ------------------------------------------------------------------
+    # Fusion gating (needRefuse/needToFuse, coxgraph_server.cpp:372-394)
+    # ------------------------------------------------------------------
+
+    def need_to_fuse(self, cid_a: int, cid_b: int, t: float) -> bool:
+        key = (min(cid_a, cid_b), max(cid_a, cid_b))
+        last = self.last_fusion_time.get(key)
+        if last is None:
+            return True
+        return (t - last) >= self.cfg.refuse_interval
+
+    # ------------------------------------------------------------------
+    # Submap collection bookkeeping
+    # ------------------------------------------------------------------
+
+    def _add_submap(self, h: SubmapHandle) -> int:
+        key = (h.client_id, h.client_submap_id)
+        if key in self.cli_ser:
+            sid = self.cli_ser[key]
+            # refresh layer + history (client kept integrating); keep the
+            # original odom pose and the optimized global pose
+            old = self.submaps[sid]
+            self.submaps[sid] = ServerSubmap(
+                sid=sid, client_id=h.client_id,
+                client_submap_id=h.client_submap_id, layer=h.layer,
+                T_cli_submap=old.T_cli_submap,
+                T_G_submap=old.T_G_submap,
+                start_time=h.start_time, end_time=h.end_time,
+                hist_stamps=h.hist_stamps, hist_poses=h.hist_poses)
+            return sid
+        sid = len(self.submaps)
+        assert sid < self.cfg.max_submaps, "server submap pool exhausted"
+        self.submaps.append(ServerSubmap(
+            sid=sid, client_id=h.client_id,
+            client_submap_id=h.client_submap_id, layer=h.layer,
+            T_cli_submap=h.T_cli_submap,
+            T_G_submap=geo.compose(self.T_G_cli[h.client_id],
+                                   h.T_cli_submap),
+            start_time=h.start_time, end_time=h.end_time,
+            hist_stamps=h.hist_stamps, hist_poses=h.hist_poses))
+        self.cli_ser[key] = sid
+        # chain constraint to the previous submap of the same client
+        # (updateSubmapRPConstraints, pose_graph_interface.cpp:51-71)
+        prev = self.cli_ser.get((h.client_id, h.client_submap_id - 1))
+        if prev is not None:
+            T_prev_new = geo.relative(self.submaps[prev].T_cli_submap,
+                                      h.T_cli_submap)
+            self.constraints = self.constraints.add(
+                prev, sid, T_prev_new,
+                self.cfg.odom_sqrt_info * jnp.eye(6))
+        return sid
+
+    def _poses(self) -> Array:
+        """Current global submap pose array (padded to max_submaps)."""
+        n = len(self.submaps)
+        poses = [s.T_G_submap for s in self.submaps]
+        pad = [geo.identity()] * (self.cfg.max_submaps - n)
+        return jnp.stack(poses + pad)
+
+    # ------------------------------------------------------------------
+    # Timeline / future-fusion machinery (coxgraph_server.cpp:328-366)
+    # ------------------------------------------------------------------
+
+    def time_line_update(self) -> None:
+        """Retry queued 'future' fusions after clients advanced."""
+        if not self.future_queue:
+            return
+        queue, self.future_queue = self.future_queue, []
+        for mf, tries in queue:
+            ok = self._try_fuse(mf)
+            if not ok and tries + 1 < self.cfg.max_future_retries:
+                self.future_queue.append((mf, tries + 1))
+
+    # ------------------------------------------------------------------
+    # Map fusion (mapFusionCallback + fuseMap, coxgraph_server.cpp:198-476)
+    # ------------------------------------------------------------------
+
+    def map_fusion(self, mf: MapFusionMsg) -> bool:
+        if mf.from_client == mf.to_client:
+            # intra-client → forward back as loop closure (:217-222)
+            return self.clients[mf.from_client].receive_loop_closure(
+                mf.from_time, mf.to_time, mf.T_from_to, mf.sqrt_info)
+        if not self.need_to_fuse(mf.from_client, mf.to_client, mf.to_time):
+            return False
+        ok = self._try_fuse(mf)
+        if not ok:
+            self.future_queue.append((mf, 0))
+        return ok
+
+    def _try_fuse(self, mf: MapFusionMsg) -> bool:
+        ca = self.clients[mf.from_client]
+        cb = self.clients[mf.to_client]
+        ha = ca.get_submap_by_time(mf.from_time)
+        hb = cb.get_submap_by_time(mf.to_time)
+        if ha is None or hb is None:
+            return False
+
+        sa = self._add_submap(ha)
+        sb = self._add_submap(hb)
+
+        # submap-level measurement: T_SA_SB = T_SA_ta · T_ta_tb · T_SB_tb⁻¹
+        # (coxgraph_server.cpp:449-464)
+        T_sa_ta = ca.lookup_pose_in_submap(ha.client_submap_id, mf.from_time)
+        T_sb_tb = cb.lookup_pose_in_submap(hb.client_submap_id, mf.to_time)
+        T_sa_sb = geo.compose(geo.compose(T_sa_ta, mf.T_from_to),
+                              geo.inverse(T_sb_tb))
+
+        # dense refinement stands in for the force-registration constraint
+        # (coxgraph_server.cpp:466-467): align B's TSDF to A's
+        if self.cfg.refine_fusion_with_icp:
+            r = reg.register_pair(self.cfg.spec, self.submaps[sa].layer,
+                                  self.submaps[sb].layer, T_sa_sb,
+                                  self.cfg.registration)
+            if int(r.n_inliers) > 50 and float(r.cost) <= float(r.initial_cost):
+                T_sa_sb = r.T_A_B
+
+        si = (mf.sqrt_info if mf.sqrt_info is not None
+              else self.cfg.fusion_sqrt_info * jnp.eye(6))
+        self.constraints = self.constraints.add(sa, sb, T_sa_sb, si)
+
+        key = (min(mf.from_client, mf.to_client),
+               max(mf.from_client, mf.to_client))
+        self.last_fusion_time[key] = max(mf.from_time, mf.to_time)
+        self.fused[mf.from_client] = True
+        self.fused[mf.to_client] = True
+
+        if self.in_control:
+            self.optimize()
+        return True
+
+    # ------------------------------------------------------------------
+    # Global optimization + client-frame alignment
+    # ------------------------------------------------------------------
+
+    def optimize(self) -> dict:
+        """Two-phase global solve, then client-frame 4-DoF alignment and
+        pose push-back (optimizePoseGraph + updateCliMapRelativePose,
+        coxgraph_server.cpp:503-582)."""
+        n = len(self.submaps)
+        if n < 2:
+            return {}
+        poses = self._poses()
+        layers = [s.layer for s in self.submaps] + \
+            [self.submaps[0].layer] * (self.cfg.max_submaps - n)
+        # skip same-client adjacent pairs (already chained by odometry)
+        skip = [(self.cli_ser[(c, k)], self.cli_ser[(c, k + 1)])
+                for (c, k) in list(self.cli_ser)
+                if (c, k + 1) in self.cli_ser]
+        new_poses, info = global_opt.optimize_two_phase(
+            poses, self.constraints, self.cfg.spec, layers[:n],
+            reg_cfg=self.cfg.registration, solver_cfg=self.cfg.solver,
+            registration_weight=self.cfg.registration_weight,
+            skip_pairs=skip)
+        self._apply_global_poses(new_poses)
+        self._align_client_frames(new_poses)
+        self._push_pose_updates()
+        self.fusion_log.append(info)
+        return info
+
+    def _apply_global_poses(self, poses: Array) -> None:
+        for s in self.submaps:
+            s.T_G_submap = poses[s.sid]
+
+    def _align_client_frames(self, poses: Array) -> None:
+        """4-DoF client-frame solve (ClientTfOptimizer equivalent):
+        nodes = client frames; measurements from every cross-client
+        constrained submap pair (coxgraph_server.cpp:556-582)."""
+        cids = sorted(self.clients)
+        cidx = {c: k for k, c in enumerate(cids)}
+        cons = pg.RelPoseConstraints.empty(64)
+        ci = np.asarray(self.constraints.i)
+        cj = np.asarray(self.constraints.j)
+        valid = np.asarray(self.constraints.valid)
+        n_meas = 0
+        for m in range(len(valid)):
+            if not valid[m]:
+                continue
+            a, b = int(ci[m]), int(cj[m])
+            if a >= len(self.submaps) or b >= len(self.submaps):
+                continue
+            sa, sb = self.submaps[a], self.submaps[b]
+            if sa.client_id == sb.client_id:
+                continue
+            # T_CA_CB = T_CA_sma · (T_G_sma⁻¹ · T_G_smb) · T_CB_smb⁻¹
+            T = geo.compose(
+                geo.compose(sa.T_cli_submap,
+                            geo.relative(poses[a], poses[b])),
+                geo.inverse(sb.T_cli_submap))
+            cons = cons.add(cidx[sa.client_id], cidx[sb.client_id], T)
+            n_meas += 1
+        if n_meas == 0:
+            return
+        nodes = jnp.stack([self.T_G_cli[c] for c in cids])
+        res = pg.optimize(nodes, cons,
+                          pg.SolverConfig(iterations=10, yaw_only=True))
+        for c in cids:
+            self.T_G_cli[c] = res.poses[cidx[c]]
+
+    def _push_pose_updates(self) -> None:
+        """Push optimized client-frame submap poses back to clients
+        (MapPoseUpdates, coxgraph_client.cpp:135-153 reversed)."""
+        per_client: Dict[int, List] = {c: [] for c in self.clients}
+        for s in self.submaps:
+            T_cli_sm = geo.compose(
+                geo.inverse(self.T_G_cli[s.client_id]), s.T_G_submap)
+            per_client[s.client_id].append((s.client_submap_id, T_cli_sm))
+        for c, updates in per_client.items():
+            if updates:
+                self.clients[c].apply_pose_updates(updates)
+
+    # ------------------------------------------------------------------
+    # Final global mesh (§3.4) + pose histories
+    # ------------------------------------------------------------------
+
+    def collect_all_submaps(self) -> None:
+        for c in self.clients.values():
+            if self.fused.get(c.client_id, False):
+                for h in c.get_all_submaps():
+                    self._add_submap(h)
+
+    def get_final_global_mesh(self, ply_path: Optional[str] = None,
+                              min_weight: float = 0.1,
+                              mesh_spec: Optional[vx.VoxelGridSpec] = None):
+        """Drain pending fusions, pull every submap, re-optimize, merge in
+        the global frame and mesh (ServerVisualizer::getFinalGlobalMesh,
+        server_visualizer.cpp:20-142)."""
+        self.time_line_update()
+        self.collect_all_submaps()
+        if self.in_control and len(self.submaps) >= 2:
+            self.optimize()
+        spec = mesh_spec or self.cfg.spec
+        merged = vx.create_tsdf_layer(spec)
+        poses = self._poses()
+        for s in self.submaps:
+            merged = merge_ops.merge_layer_into(
+                spec, merged, s.layer, poses[s.sid])
+        verts, cols = mesh_ops.extract_mesh(spec, merged,
+                                            min_weight=min_weight)
+        if ply_path:
+            export.write_ply(ply_path, verts, cols)
+        return merged, verts, cols
+
+    def pose_history(self, client_id: int):
+        """Global-frame trajectory of one client from its submap histories
+        (PoseHistorySrv / savePoseHistoryToFile equivalent)."""
+        stamps, poses = [], []
+        for s in self.submaps:
+            if s.client_id != client_id or len(s.hist_stamps) == 0:
+                continue
+            T_G_sm = s.T_G_submap
+            seg = [geo.compose(T_G_sm, s.hist_poses[k])
+                   for k in range(len(s.hist_stamps))]
+            stamps.append(s.hist_stamps)
+            poses.extend(seg)
+        if not stamps:
+            return np.zeros((0,)), np.zeros((0, 7))
+        return np.concatenate(stamps), np.asarray(jnp.stack(poses))

@@ -1,0 +1,174 @@
+"""Global two-phase pose-graph optimization with dense registration —
+the server's solve (reference: PoseGraphInterface::optimize's double
+solve with updateRegistrationConstraints between,
+pose_graph_interface.cpp:32-49; overlap detection via submap AABBs,
+SURVEY.md §2.9).
+
+Phase 1 solves relative-pose constraints only (loop closures + submap
+chains); phase 2 adds explicit-to-implicit registration residuals between
+overlapping submap pairs. Registration normal equations are evaluated per
+pair with the jitted kernel from ops.registration and scatter-added into
+the global system on the host (fusion events are seconds apart — this is
+control-rate, not frame-rate, code).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import geometry as geo
+from ..core import voxel as vx
+from ..ops import registration as reg
+from ..solver import pose_graph as pg
+
+Array = jax.Array
+
+
+def submap_aabb(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer) -> np.ndarray:
+    """Axis-aligned bounds of allocated blocks in the submap frame →
+    (2,3) [min;max] (voxgraph getOdomFrameSurfaceAabb capability)."""
+    n = int(layer.num_blocks)
+    if n == 0:
+        return np.zeros((2, 3), np.float32)
+    bc = np.asarray(layer.block_coords[:n], np.float32) * spec.block_size
+    return np.stack([bc.min(0), bc.max(0) + spec.block_size])
+
+
+def aabb_overlap(a: np.ndarray, b: np.ndarray, margin: float = 0.0) -> bool:
+    return bool(np.all(a[0] - margin <= b[1]) and np.all(b[0] - margin <= a[1]))
+
+
+def transformed_aabb(aabb: np.ndarray, T: Array) -> np.ndarray:
+    """Conservative world-frame AABB of a posed submap AABB."""
+    corners = np.array([[aabb[i, 0], aabb[j, 1], aabb[k, 2]]
+                        for i in (0, 1) for j in (0, 1) for k in (0, 1)])
+    w = np.asarray(geo.transform_points(T, jnp.asarray(corners)))
+    return np.stack([w.min(0), w.max(0)])
+
+
+def find_overlapping_pairs(spec: vx.VoxelGridSpec,
+                           layers: Sequence[vx.TsdfLayer],
+                           poses: Array,
+                           skip_adjacent_same_client: Optional[
+                               Sequence[Tuple[int, int]]] = None,
+                           margin: float = 0.5) -> List[Tuple[int, int]]:
+    """Candidate registration pairs by world-AABB intersection
+    (updateRegistrationConstraints overlap detection)."""
+    n = len(layers)
+    boxes = [transformed_aabb(submap_aabb(spec, layers[k]), poses[k])
+             for k in range(n)]
+    skip = set(skip_adjacent_same_client or [])
+    pairs = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if (i, j) in skip or (j, i) in skip:
+                continue
+            if int(layers[i].num_blocks) and int(layers[j].num_blocks) \
+                    and aabb_overlap(boxes[i], boxes[j], margin):
+                pairs.append((i, j))
+    return pairs
+
+
+@dataclasses.dataclass
+class RegistrationPair:
+    i: int
+    j: int
+    pts_i: Array     # surface samples of submap i (its frame)
+    sdf_i: Array
+    mask_i: Array
+
+
+def make_registration_pairs(spec: vx.VoxelGridSpec,
+                            layers: Sequence[vx.TsdfLayer],
+                            pairs: Sequence[Tuple[int, int]],
+                            cfg: reg.RegistrationConfig,
+                            ) -> List[RegistrationPair]:
+    out = []
+    for (i, j) in pairs:
+        pts, mask = reg.extract_surface_points(spec, layers[i], cfg)
+        s, _, ok = vx.sample_tsdf_trilinear(spec, layers[i], pts)
+        out.append(RegistrationPair(
+            i=i, j=j, pts_i=pts, sdf_i=jnp.where(ok, s, 0.0),
+            mask_i=mask & ok))
+    return out
+
+
+def optimize_two_phase(poses: Array,
+                       constraints: pg.RelPoseConstraints,
+                       spec: vx.VoxelGridSpec,
+                       layers: Sequence[vx.TsdfLayer],
+                       reg_cfg: reg.RegistrationConfig = reg.RegistrationConfig(),
+                       solver_cfg: pg.SolverConfig = pg.SolverConfig(),
+                       registration_weight: float = 30.0,
+                       reg_iterations: int = 6,
+                       fixed: Optional[Array] = None,
+                       skip_pairs: Optional[Sequence[Tuple[int, int]]] = None,
+                       ) -> Tuple[Array, dict]:
+    """Phase 1: LM over relative-pose constraints. Phase 2: joint GN adding
+    registration residuals of overlapping pairs. Returns (poses, info)."""
+    n = poses.shape[0]
+    res1 = pg.optimize(poses, constraints, solver_cfg, fixed=fixed)
+    poses = res1.poses
+
+    pairs_idx = find_overlapping_pairs(spec, layers, poses,
+                                       skip_adjacent_same_client=skip_pairs)
+    rpairs = make_registration_pairs(spec, layers, pairs_idx, reg_cfg)
+    info = {"phase1_cost": float(res1.cost),
+            "n_registration_pairs": len(rpairs)}
+    if not rpairs:
+        return poses, info
+
+    if fixed is None:
+        fixed_np = np.zeros((n,), bool)
+        fixed_np[0] = True
+    else:
+        fixed_np = np.asarray(fixed).copy()
+    # keep poses untouched by anything constant (solver does this too)
+    touched = np.zeros((n,), bool)
+    ci = np.asarray(constraints.i)[np.asarray(constraints.valid)]
+    cj = np.asarray(constraints.j)[np.asarray(constraints.valid)]
+    touched[ci] = True
+    touched[cj] = True
+    for p in rpairs:
+        touched[p.i] = True
+        touched[p.j] = True
+    fixed_all = jnp.asarray(fixed_np | ~touched)
+
+    w2 = registration_weight ** 2
+    for _ in range(reg_iterations):
+        H, b, _ = pg._build_normal_equations(poses, constraints, solver_cfg,
+                                             fixed_all)
+        H = np.array(H)   # writable host copies
+        b = np.array(b)
+        for p in rpairs:
+            Hp, bp, _, nin = reg.registration_normal_eq(
+                spec, layers[p.j], p.pts_i, p.sdf_i, p.mask_i,
+                poses[p.i], poses[p.j], reg_cfg.huber_delta)
+            scale = w2 / max(int(nin), 1)
+            Hp = np.asarray(Hp) * scale
+            bp = np.asarray(bp) * scale
+            si, sj = 6 * p.i, 6 * p.j
+            H[si:si + 6, si:si + 6] += Hp[:6, :6]
+            H[si:si + 6, sj:sj + 6] += Hp[:6, 6:]
+            H[sj:sj + 6, si:si + 6] += Hp[6:, :6]
+            H[sj:sj + 6, sj:sj + 6] += Hp[6:, 6:]
+            b[si:si + 6] += bp[:6]
+            b[sj:sj + 6] += bp[6:]
+        # re-apply gauge zeroing for rows the registration pairs touched
+        fmask = np.repeat(np.asarray(fixed_all), 6)
+        H[fmask, :] = 0.0
+        H[:, fmask] = 0.0
+        H[fmask, fmask] = 1.0
+        b[fmask] = 0.0
+        Hd = H + 1e-4 * np.diag(np.maximum(np.diag(H), 1e-8))
+        delta = np.linalg.solve(Hd, -b)
+        poses = pg._apply_delta(poses, jnp.asarray(delta), solver_cfg)
+
+    res2_cost = float(pg._total_cost(poses, constraints, solver_cfg))
+    info["phase2_relpose_cost"] = res2_cost
+    return poses, info

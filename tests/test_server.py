@@ -1,0 +1,166 @@
+"""Two-client collaborative fusion tests (BASELINE.json config 4:
+client-server submap fusion with cross-robot loop closures)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coxgraph_tpu.core import geometry as geo, voxel as vx
+from coxgraph_tpu.frontends import synthetic as syn
+from coxgraph_tpu.mapper import submap_mapper as sm
+from coxgraph_tpu.ops import tsdf as tsdf_ops
+from coxgraph_tpu.server import fusion_server as fs
+from coxgraph_tpu.server.client_interface import InProcessClient
+
+SPEC = vx.VoxelGridSpec(voxel_size=0.1, voxels_per_side=8, grid_dim=32,
+                        max_blocks=1024, truncation=0.3)
+CFG = sm.MapperConfig(
+    spec=SPEC,
+    integrator=tsdf_ops.TsdfIntegratorConfig(max_touched_blocks=512),
+    intrinsics=syn.PinholeIntrinsics().scaled(0.125),
+    max_submaps=8,
+    max_history=64,
+    submap_interval=0.2,
+)
+DT = 0.1
+N_FRAMES = 8
+
+
+def build_two_clients(yaw_offset=0.6, t_offset=(1.0, -0.5, 0.0)):
+    """Two robots covering complementary+overlapping halves of the scene;
+    client 1's odom frame differs from world by a yaw+translation X."""
+    scene = syn.default_scene()
+    trajs = [
+        syn.orbit_trajectory(N_FRAMES, scene.room_center, radius=2.3,
+                             sweep=0.8 * jnp.pi, start_angle=0.0),
+        syn.orbit_trajectory(N_FRAMES, scene.room_center, radius=2.3,
+                             sweep=0.8 * jnp.pi,
+                             start_angle=0.6 * jnp.pi),
+    ]
+    X = [geo.identity(),
+         geo.from_xyzyaw(jnp.array([t_offset[0], t_offset[1], t_offset[2],
+                                    yaw_offset]))]
+    clients = []
+    for cid in range(2):
+        state = sm.create_mapper(CFG)
+        for i in range(N_FRAMES):
+            d, c = syn.render_depth(scene, CFG.intrinsics, trajs[cid][i])
+            T_odom_cam = geo.compose(geo.inverse(X[cid]), trajs[cid][i])
+            state, _ = sm.mapper_step(CFG, state, d, c, T_odom_cam, i * DT)
+        clients.append(InProcessClient(cid, CFG, state))
+    return scene, trajs, X, clients
+
+
+@pytest.fixture(scope="module")
+def world():
+    return build_two_clients()
+
+
+def make_server(clients, **kw):
+    cfg = fs.ServerConfig(
+        spec=SPEC, max_submaps=32,
+        refuse_interval=kw.pop("refuse_interval", 0.0),
+        registration=fs.reg.RegistrationConfig(max_points=512, iterations=8),
+        **kw)
+    return fs.CoxgraphServer(cfg, clients)
+
+
+def true_fusion_msg(trajs, ta_idx, tb_idx):
+    T = geo.relative(trajs[0][ta_idx], trajs[1][tb_idx])
+    return fs.MapFusionMsg(from_client=0, from_time=ta_idx * DT,
+                           to_client=1, to_time=tb_idx * DT, T_from_to=T)
+
+
+def test_map_fusion_aligns_client_frames(world):
+    scene, trajs, X, clients = world
+    server = make_server(list(clients))
+    mf = true_fusion_msg(trajs, 3, 3)
+    assert server.map_fusion(mf)
+    assert len(server.submaps) >= 2
+    # client 1's frame alignment should recover X[1] (yaw-only offset)
+    err = geo.se3_log(geo.relative(server.T_G_cli[1], X[1]))
+    assert float(jnp.linalg.norm(err)) < 0.12, np.asarray(err)
+    # a second fusion at a different time tightens it
+    mf2 = true_fusion_msg(trajs, 6, 5)
+    assert server.map_fusion(mf2)
+    err2 = geo.se3_log(geo.relative(server.T_G_cli[1], X[1]))
+    assert float(jnp.linalg.norm(err2)) < 0.1, np.asarray(err2)
+
+
+def test_global_mesh_covers_union(world, tmp_path):
+    scene, trajs, X, clients = world
+    server = make_server(list(clients))
+    server.map_fusion(true_fusion_msg(trajs, 3, 3))
+    merged, verts, cols = server.get_final_global_mesh(
+        str(tmp_path / "global.ply"))
+    assert verts.shape[0] > 500
+    # mesh vertices near the true global-frame surface
+    sdf = np.asarray(syn.scene_sdf(scene, jnp.asarray(verts.reshape(-1, 3))))
+    assert np.quantile(np.abs(sdf), 0.9) < 3.0 * SPEC.voxel_size
+    # union coverage: mesh spans both robots' exclusive view sectors
+    spread = verts.reshape(-1, 3)[:, :2]
+    assert spread[:, 0].max() - spread[:, 0].min() > 4.0
+    # trajectories exported in the global frame match world ground truth
+    stamps1, poses1 = server.pose_history(1)
+    assert len(stamps1) > 0
+    order = np.argsort(stamps1)
+    gt = np.asarray(jax.vmap(lambda i: trajs[1][i])(
+        jnp.asarray((stamps1[order] / DT).round().astype(int))))
+    err = np.linalg.norm(np.asarray(poses1)[order][:, 4:7] - gt[:, 4:7],
+                         axis=-1)
+    assert np.median(err) < 0.12
+
+
+def test_same_client_fusion_becomes_loop_closure(world):
+    scene, trajs, X, clients = world
+    server = make_server(list(clients))
+    n0 = int(clients[0].state.constraints.count)
+    mf = fs.MapFusionMsg(
+        from_client=0, from_time=1 * DT, to_client=0, to_time=7 * DT,
+        T_from_to=geo.relative(trajs[0][1], trajs[0][7]))
+    assert server.map_fusion(mf)
+    assert int(clients[0].state.constraints.count) == n0 + 1
+
+
+def test_future_fusion_queued_and_retried():
+    scene, trajs, X, clients = build_two_clients()
+    server = make_server(list(clients))
+    # fusion at a time beyond client timelines → queued
+    mf = fs.MapFusionMsg(from_client=0, from_time=3 * DT, to_client=1,
+                         to_time=5.0, T_from_to=geo.identity())
+    assert not server.map_fusion(mf)
+    assert len(server.future_queue) == 1
+    server.time_line_update()  # still future
+    assert len(server.future_queue) == 1
+    # advance client 1's timeline by integrating a frame at t=5.0
+    c1 = clients[1]
+    d, c = syn.render_depth(scene, CFG.intrinsics, trajs[1][-1])
+    T_odom_cam = geo.compose(geo.inverse(X[1]), trajs[1][-1])
+    c1.state, _ = sm.mapper_step(CFG, c1.state, d, c, T_odom_cam, 5.0)
+    server.time_line_update()
+    assert len(server.future_queue) == 0
+    assert len(server.submaps) >= 2
+
+
+def test_refuse_interval_gates_fusions(world):
+    scene, trajs, X, clients = world
+    server = make_server(list(clients), refuse_interval=100.0)
+    assert server.map_fusion(true_fusion_msg(trajs, 3, 3))
+    # second fusion within the refuse window is rejected
+    assert not server.map_fusion(true_fusion_msg(trajs, 6, 5))
+    assert server.need_to_fuse(0, 1, 3 * DT + 200.0)
+
+
+def test_distribution_controller(world):
+    scene, trajs, X, clients = world
+    server = make_server(list(clients))
+    server.control_trigger(False)
+    before = [np.asarray(s.T_G_submap) for s in server.submaps]
+    server.map_fusion(true_fusion_msg(trajs, 3, 3))  # ingests, no PGO
+    q = server.state_query()
+    assert q["n_submaps"] >= 2
+    assert server.fusion_log == []  # optimize skipped while not in control
+    server.control_trigger(True)
+    server.optimize()
+    assert len(server.fusion_log) == 1
