@@ -1,0 +1,147 @@
+"""Submap wire format + bandwidth accounting — the host-level transport
+tier of the two-tier fabric (SURVEY.md §5.8): ICI collectives handle dense
+math inside jit; this layer plays the role of the reference's ROS
+topics/services for submap hand-off between robot pipelines and the fused
+global solve (msgFromCliSubmap/cliSubmapFromMsg, msg_converter.h:46-118,
+with sizeOfMsg bandwidth accounting :149-167 via EvalDataPublisher).
+
+Encoding is the native C++ serializer (occupancy bitmap + 7-byte quantized
+voxels — the same bandwidth-saving job as the reference's mesh_with_history
+compression, without the lossy mesh round trip)."""
+
+from __future__ import annotations
+
+import ctypes
+import dataclasses
+import struct
+import time
+from typing import List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import voxel as vx
+from ..native import lib
+
+_HDR = struct.Struct("<III dd")  # client_id, submap_id, n_hist, t0, t1
+
+
+def serialize_layer(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer) -> bytes:
+    """Encode the live blocks of a layer → bytes."""
+    from ..utils.hostops import bucket_slice
+
+    L = lib()
+    n = int(layer.num_blocks)
+    coords = np.ascontiguousarray(bucket_slice(layer.block_coords, n),
+                                  np.int32)
+    sdf = np.ascontiguousarray(bucket_slice(layer.sdf, n), np.float32)
+    w = np.ascontiguousarray(bucket_slice(layer.weight, n), np.float32)
+    c = np.ascontiguousarray(bucket_slice(layer.color, n), np.float32)
+    vps = spec.voxels_per_side
+    cap = L.cox_serialized_bound(n, vps)
+    out = np.empty(cap, np.uint8)
+    written = L.cox_serialize(
+        coords.ctypes.data, sdf.ctypes.data, w.ctypes.data, c.ctypes.data,
+        n, vps, ctypes.c_float(spec.truncation),
+        ctypes.c_float(spec.voxel_size), out.ctypes.data, cap)
+    if written == 0:
+        raise RuntimeError("serialization failed")
+    return out[:written].tobytes()
+
+
+def deserialize_layer(spec: vx.VoxelGridSpec, buf: bytes) -> vx.TsdfLayer:
+    """Decode bytes → a fresh TsdfLayer (allocating the decoded blocks)."""
+    L = lib()
+    nb = ctypes.c_uint32()
+    vps = ctypes.c_uint32()
+    trunc = ctypes.c_float()
+    vsz = ctypes.c_float()
+    b = np.frombuffer(buf, np.uint8)
+    rc = L.cox_peek(b.ctypes.data, len(buf), ctypes.byref(nb),
+                    ctypes.byref(vps), ctypes.byref(trunc),
+                    ctypes.byref(vsz))
+    if rc != 0:
+        raise ValueError(f"bad wire buffer (rc={rc})")
+    n, v = nb.value, vps.value
+    assert v == spec.voxels_per_side, "voxels_per_side mismatch"
+    assert abs(vsz.value - spec.voxel_size) < 1e-6, "voxel_size mismatch"
+    coords = np.empty((n, 3), np.int32)
+    sdf = np.empty((n, v, v, v), np.float32)
+    w = np.empty((n, v, v, v), np.float32)
+    c = np.empty((n, v, v, v, 3), np.float32)
+    rc = L.cox_deserialize(b.ctypes.data, len(buf), coords.ctypes.data,
+                           sdf.ctypes.data, w.ctypes.data, c.ctypes.data)
+    if rc != 0:
+        raise ValueError(f"deserialize failed (rc={rc})")
+
+    layer = vx.create_tsdf_layer(spec)
+    layer = vx.allocate_blocks(spec, layer, jnp.asarray(coords))
+    # decoded block order == allocation order is NOT guaranteed by the
+    # allocator (it assigns grid-scan order); scatter via lookup instead
+    slots = vx.lookup_block(spec, layer, jnp.asarray(coords))
+    slots_np = np.asarray(slots)
+    assert (slots_np >= 0).all()
+    return dataclasses.replace(
+        layer,
+        sdf=layer.sdf.at[slots_np].set(jnp.asarray(sdf)),
+        weight=layer.weight.at[slots_np].set(jnp.asarray(w)),
+        color=layer.color.at[slots_np].set(jnp.asarray(c)),
+        block_coords=layer.block_coords.at[slots_np].set(
+            jnp.asarray(coords)),
+    )
+
+
+@dataclasses.dataclass
+class BandwidthEvent:
+    """Per-transfer record (node_evaluator/Bandwidth equivalent,
+    eval_data_publisher.h:23-31)."""
+
+    name: str
+    n_bytes: int
+    t_pub: float
+    t_recv: float
+
+
+class BandwidthLog:
+    def __init__(self):
+        self.events: List[BandwidthEvent] = []
+
+    def record(self, name: str, n_bytes: int, t_pub: float) -> None:
+        self.events.append(BandwidthEvent(name, n_bytes, t_pub, time.time()))
+
+    def total_bytes(self) -> int:
+        return sum(e.n_bytes for e in self.events)
+
+    def summary(self) -> str:
+        mb = self.total_bytes() / 1e6
+        return f"{len(self.events)} transfers, {mb:.2f} MB"
+
+
+def pack_submap_msg(spec: vx.VoxelGridSpec, client_id: int, submap_id: int,
+                    layer: vx.TsdfLayer, T_cli_submap, t0: float, t1: float,
+                    hist_stamps: np.ndarray, hist_poses) -> bytes:
+    """Full ClientSubmap message: header + pose + history + encoded layer
+    (coxgraph_msgs/ClientSubmap.msg equivalent)."""
+    hs = np.asarray(hist_stamps, np.float64)
+    hp = np.asarray(hist_poses, np.float32).reshape(-1, 7)
+    hdr = _HDR.pack(client_id, submap_id, len(hs), t0, t1)
+    pose = np.asarray(T_cli_submap, np.float32).tobytes()
+    return (hdr + pose + hs.tobytes() + hp.tobytes()
+            + serialize_layer(spec, layer))
+
+
+def unpack_submap_msg(spec: vx.VoxelGridSpec, buf: bytes):
+    cid, sid, n_hist, t0, t1 = _HDR.unpack_from(buf, 0)
+    off = _HDR.size
+    pose = jnp.asarray(np.frombuffer(buf, np.float32, 7, off).copy())
+    off += 28
+    hs = np.frombuffer(buf, np.float64, n_hist, off).copy()
+    off += 8 * n_hist
+    hp = jnp.asarray(
+        np.frombuffer(buf, np.float32, 7 * n_hist, off).reshape(n_hist, 7)
+        .copy())
+    off += 28 * n_hist
+    layer = deserialize_layer(spec, buf[off:])
+    return dict(client_id=cid, submap_id=sid, t0=t0, t1=t1,
+                T_cli_submap=pose, hist_stamps=hs, hist_poses=hp,
+                layer=layer)

@@ -332,3 +332,76 @@ def lookup_pose(stamps: Array, poses: Array, t: Array) -> Array:
 def relative(Ta: Array, Tb: Array) -> Array:
     """T_A_B = Ta^{-1} ∘ Tb."""
     return compose(inverse(Ta), Tb)
+
+
+def _np_quat_mul(a, b):
+    import numpy as np
+    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return np.stack([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ], axis=-1)
+
+
+def _np_quat_rotate(q, v):
+    import numpy as np
+    qw = q[..., :1]
+    qv = q[..., 1:4]
+    uv = np.cross(qv, v)
+    uuv = np.cross(qv, uv)
+    return v + 2.0 * (qw * uv + uuv)
+
+
+def compose_np(a, b):
+    """NumPy twin of compose() for host-side control code (remote-TPU
+    rule: no eager device ops in bookkeeping loops — utils/hostops)."""
+    import numpy as np
+    a = np.asarray(a)
+    b = np.asarray(b)
+    q = _np_quat_mul(a[..., :4], b[..., :4])
+    q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), _EPS)
+    t = _np_quat_rotate(a[..., :4], b[..., 4:7]) + a[..., 4:7]
+    return np.concatenate([q, t], axis=-1)
+
+
+def inverse_np(T):
+    import numpy as np
+    T = np.asarray(T)
+    qi = T[..., :4] * np.array([1.0, -1, -1, -1], T.dtype)
+    return np.concatenate(
+        [qi, -_np_quat_rotate(qi, T[..., 4:7])], axis=-1)
+
+
+def relative_np(Ta, Tb):
+    return compose_np(inverse_np(Ta), Tb)
+
+
+def lookup_pose_np(stamps, poses, t: float):
+    """Pure-NumPy lookup_pose for host-side control code — on
+    remote-attached TPUs every eager device op with a new shape/constant
+    triggers a fresh ~20 s compile (see utils/hostops), so server-side
+    bookkeeping interpolates on the host."""
+    import numpy as np
+
+    stamps = np.asarray(stamps)
+    poses = np.asarray(poses)
+    idx = int(np.clip(np.searchsorted(stamps, t, side="right"), 1,
+                      len(stamps) - 1))
+    t0, t1 = stamps[idx - 1], stamps[idx]
+    a = float(np.clip((t - t0) / max(t1 - t0, 1e-9), 0.0, 1.0))
+    qa, qb = poses[idx - 1, :4], poses[idx, :4]
+    if np.dot(qa, qb) < 0:
+        qb = -qb
+    dot = np.clip(abs(np.dot(qa, qb)), -1.0, 1.0)
+    theta = np.arccos(dot)
+    if np.sin(theta) < 1e-5:
+        q = (1 - a) * qa + a * qb
+    else:
+        q = (np.sin((1 - a) * theta) * qa + np.sin(a * theta) * qb) \
+            / np.sin(theta)
+    q = q / max(np.linalg.norm(q), 1e-9)
+    tr = (1 - a) * poses[idx - 1, 4:] + a * poses[idx, 4:]
+    return np.concatenate([q, tr]).astype(np.float32)

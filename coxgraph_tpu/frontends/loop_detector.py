@@ -1,0 +1,134 @@
+"""Keyframe database + loop-closure detection → MapFusion messages.
+
+Replaces the reference's external loop-closure stack (corbslam /
+pose_graph_backend with BoW vocabulary, BRISK, RANSAC gates —
+launch/utils/pose_graph_backend.launch:13-60) and the coxgraph_mod
+LoopClosurePublisher routing (loop_closure_publisher.h:71-136: cross-robot
+→ MapFusion, same-robot → LoopClosure).
+
+TPU design: no BoW inverted index — the whole keyframe descriptor database
+is matched brute-force on the MXU/VPU (hundreds of keyframes × 512
+descriptors is small change for a chip), candidates are ranked by mutual
+good-match count and verified with batched 3D-3D RANSAC.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import geometry as geo
+from ..ops import features as ft
+from ..server.fusion_server import MapFusionMsg
+from .synthetic import PinholeIntrinsics
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopDetectorConfig:
+    features: ft.FeatureConfig = ft.FeatureConfig()
+    min_match_score: int = 30          # good matches to shortlist a pair
+    min_inliers: int = 15              # RANSAC gate (SAC threshold analog)
+    min_time_separation: float = 3.0   # s, same-robot loop gate
+    max_candidates: int = 2            # verified per new keyframe
+    keyframe_stride: float = 0.5       # s between stored keyframes
+
+
+@dataclasses.dataclass
+class Keyframe:
+    client_id: int
+    t: float
+    kp: ft.Keypoints
+
+
+@partial(jax.jit, static_argnums=4)
+def _batched_match_counts(db_desc, db_valid, q_desc, q_valid,
+                          cfg: ft.FeatureConfig):
+    """(N,K,8)×(K,8) → (N,) mutual-good-match counts."""
+
+    def one(desc_b, valid_b):
+        a = ft.Keypoints(uv=None, response=None, valid=q_valid, desc=q_desc,
+                         p_cam=None, has_depth=None)
+        b = ft.Keypoints(uv=None, response=None, valid=valid_b, desc=desc_b,
+                         p_cam=None, has_depth=None)
+        mb, _ = ft.match_descriptors(a, b, cfg)
+        return (mb >= 0).sum()
+
+    return jax.vmap(one)(db_desc, db_valid)
+
+
+class LoopDetector:
+    """Shared multi-robot keyframe database (the reference runs one such
+    backend fed by every robot's keyframes)."""
+
+    def __init__(self, intr: PinholeIntrinsics,
+                 cfg: LoopDetectorConfig = LoopDetectorConfig()):
+        self.intr = intr
+        self.cfg = cfg
+        self.keyframes: List[Keyframe] = []
+        self._last_kf_time: dict[int, float] = {}
+
+    def _score(self, kp_a: ft.Keypoints, kp_b: ft.Keypoints) -> int:
+        mb, _ = ft.match_descriptors(kp_a, kp_b, self.cfg.features)
+        return int((mb >= 0).sum())
+
+    def _score_all(self, kp: ft.Keypoints) -> np.ndarray:
+        """Match the query against the WHOLE database in one padded jitted
+        dispatch (remote-TPU friendly: one sync instead of one per
+        keyframe). Returns (n_keyframes,) good-match counts."""
+        n = len(self.keyframes)
+        if n == 0:
+            return np.zeros((0,), np.int32)
+        cap = 1 << (n - 1).bit_length()        # pad → O(log n) compiles
+        K = self.cfg.features.max_keypoints
+        db_desc = np.zeros((cap, K, ft._N_WORDS), np.uint32)
+        db_valid = np.zeros((cap, K), bool)
+        for i, kf in enumerate(self.keyframes):
+            db_desc[i] = np.asarray(kf.kp.desc)
+            db_valid[i] = np.asarray(kf.kp.valid)
+        counts = _batched_match_counts(
+            jnp.asarray(db_desc), jnp.asarray(db_valid), kp.desc, kp.valid,
+            self.cfg.features)
+        return np.asarray(counts)[:n]
+
+    def add_keyframe(self, client_id: int, t: float, color: Array,
+                     depth: Array,
+                     key: Optional[Array] = None) -> List[MapFusionMsg]:
+        """Ingest a frame; returns verified loop closures as MapFusion
+        messages (from = the stored keyframe, to = the new frame)."""
+        last = self._last_kf_time.get(client_id)
+        if last is not None and t - last < self.cfg.keyframe_stride - 1e-9:
+            return []
+        self._last_kf_time[client_id] = t
+
+        kp = ft.detect_and_describe(self.intr, color, depth,
+                                    self.cfg.features)
+        msgs: List[MapFusionMsg] = []
+        counts = self._score_all(kp)
+        scored = []
+        for i, kf in enumerate(self.keyframes):
+            if kf.client_id == client_id and \
+                    abs(t - kf.t) < self.cfg.min_time_separation:
+                continue
+            if counts[i] >= self.cfg.min_match_score:
+                scored.append((int(counts[i]), kf))
+        scored.sort(key=lambda x: -x[0])
+
+        for rank, (s, kf) in enumerate(scored[:self.cfg.max_candidates]):
+            k = (jax.random.PRNGKey(len(self.keyframes) * 97 + rank)
+                 if key is None else jax.random.fold_in(key, rank))
+            T_a_b, n_inl = ft.estimate_relative_pose(
+                kf.kp, kp, self.cfg.features, key=k)
+            if int(n_inl) >= self.cfg.min_inliers:
+                msgs.append(MapFusionMsg(
+                    from_client=kf.client_id, from_time=kf.t,
+                    to_client=client_id, to_time=t, T_from_to=T_a_b))
+
+        self.keyframes.append(Keyframe(client_id=client_id, t=t, kp=kp))
+        return msgs

@@ -162,7 +162,19 @@ def render_depth(scene: Scene, intr: PinholeIntrinsics, T_world_cam: Array,
     )
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-6)
     shade = 0.5 + 0.5 * jnp.abs(n)
-    color = jnp.where(hit[..., None], shade, 0.0)
+    # viewpoint-invariant procedural texture (function of the 3D point) so
+    # feature descriptors match across views — sensor-image stand-in
+    def checker(q, s):
+        c = jnp.floor(q / s)
+        return jnp.mod(c[..., 0] + c[..., 1] + c[..., 2], 2.0)
+
+    tex = (
+        0.45
+        + 0.22 * checker(p, 0.31)
+        + 0.16 * checker(p + 0.123, 0.53)
+        + 0.12 * jnp.sin(9.1 * p[..., 0]) * jnp.sin(7.3 * p[..., 1])
+    )
+    color = jnp.where(hit[..., None], shade * tex[..., None], 0.0)
     return depth, color
 
 

@@ -1,0 +1,72 @@
+"""VIO adapter facade — the coxgraph_mod equivalent (vio_interface.h:17-140:
+updatePose, publishLoopClosure, toggleMapping, needToFuse/updateNeedToFuse
+caching; loop_closure_publisher.h routing; tf_publisher.h odometry out).
+
+In the reference this header-only library is compiled INTO external SLAM
+binaries and talks ROS; here it is the Python facade an odometry frontend
+(or the synthetic replay driver) uses to feed the TPU pipeline. It routes:
+pose updates → the robot's mapper step, cross-robot loop closures →
+server.map_fusion, same-robot ones → the same path (the server forwards
+them back as local constraints), and caches need-to-fuse answers.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+
+from ..core import geometry as geo
+from ..mapper import submap_mapper as sm
+from ..server.fusion_server import CoxgraphServer, MapFusionMsg
+
+Array = jax.Array
+
+
+class VIOInterface:
+    def __init__(self, client_id: int, cfg: sm.MapperConfig,
+                 client, server: Optional[CoxgraphServer] = None):
+        """client: server.client_interface.InProcessClient for this robot."""
+        self.client_id = client_id
+        self.cfg = cfg
+        self.client = client
+        self.server = server
+        self.mapping_enabled = True
+        self._need_to_fuse_cache: Dict[Tuple[int, int], bool] = {}
+        self.T_odom_latest: Optional[Array] = None
+        # host-side rollover mirror: zero device reads in the frame loop
+        self._mapper = sm.HostMapper(cfg, client.state)
+
+    # vio_interface.h:34-44 updatePose — odometry in, mapping step out
+    def update_pose(self, T_odom_cam: Array, t: float,
+                    depth: Optional[Array] = None,
+                    color: Optional[Array] = None) -> None:
+        self.T_odom_latest = T_odom_cam
+        if self.mapping_enabled and depth is not None:
+            self._mapper.state = self.client.state  # pick up server updates
+            self._mapper.step(depth, color, T_odom_cam, t)
+            self.client.state = self._mapper.state
+            if self.server is not None:
+                self.server.time_line_update()
+
+    # vio_interface.h:46-60 publishLoopClosure (both overloads)
+    def publish_loop_closure(self, from_client: int, from_time: float,
+                             to_client: int, to_time: float,
+                             T_from_to: Array) -> bool:
+        if self.server is None:
+            return False
+        return self.server.map_fusion(MapFusionMsg(
+            from_client=from_client, from_time=from_time,
+            to_client=to_client, to_time=to_time, T_from_to=T_from_to))
+
+    # vio_interface.h:68-80 toggleMapping service
+    def toggle_mapping(self, enable: bool) -> None:
+        self.mapping_enabled = enable
+
+    # vio_interface.h:82-113 needToFuse w/ cache + updateNeedToFuse
+    def need_to_fuse(self, cid_a: int, cid_b: int, t: float) -> bool:
+        key = (min(cid_a, cid_b), max(cid_a, cid_b))
+        if self.server is not None:
+            self._need_to_fuse_cache[key] = self.server.need_to_fuse(
+                cid_a, cid_b, t)
+        return self._need_to_fuse_cache.get(key, True)

@@ -185,16 +185,46 @@ def mapper_step(cfg: MapperConfig, state: MapperState, depth: Array,
                 t: float) -> Tuple[MapperState, bool]:
     """Host-orchestrated step: roll the submap if the interval elapsed,
     then integrate. Returns (state, new_submap_started)."""
+    import numpy as np
+
     col = state.collection
     n = int(col.num_submaps)
     started = False
-    if n == 0 or (float(t) - float(col.start_time[n - 1])
+    if n == 0 or (float(t) - float(np.asarray(col.start_time)[n - 1])
                   >= cfg.submap_interval - 1e-6):
         state = start_submap(cfg, state, T_odom_cam, jnp.asarray(t, jnp.float32))
         started = True
     state = integrate(cfg, state, depth, color, T_odom_cam,
                       jnp.asarray(t, jnp.float32))
     return state, started
+
+
+class HostMapper:
+    """Host-side wrapper that mirrors the rollover scalars (submap count,
+    active start time) so the per-frame hot loop issues ZERO device→host
+    reads — on remote-attached TPUs every sync costs a full round trip."""
+
+    def __init__(self, cfg: MapperConfig, state: Optional[MapperState] = None):
+        self.cfg = cfg
+        self.state = state if state is not None else create_mapper(cfg)
+        self.n_submaps = int(self.state.collection.num_submaps)
+        self.last_start = (
+            float(self.state.collection.start_time[self.n_submaps - 1])
+            if self.n_submaps else 0.0)
+
+    def step(self, depth: Array, color: Optional[Array], T_odom_cam: Array,
+             t: float) -> bool:
+        started = False
+        if (self.n_submaps == 0
+                or t - self.last_start >= self.cfg.submap_interval - 1e-6):
+            self.state = start_submap(self.cfg, self.state, T_odom_cam,
+                                      jnp.asarray(t, jnp.float32))
+            self.n_submaps = min(self.n_submaps + 1, self.cfg.max_submaps)
+            self.last_start = t
+            started = True
+        self.state = integrate(self.cfg, self.state, depth, color,
+                               T_odom_cam, jnp.asarray(t, jnp.float32))
+        return started
 
 
 def optimize_local(cfg: MapperConfig, state: MapperState,
@@ -228,23 +258,32 @@ def merged_layer(cfg: MapperConfig, col: SubmapCollection) -> vx.TsdfLayer:
     return merged
 
 
+@jax.jit
+def _composed_histories(T_odom_submap: Array, hist_poses: Array) -> Array:
+    """(S,7)×(S,H,7) → (S,H,7) odom-frame poses, one fixed-shape program."""
+    return jax.vmap(lambda T, ps: jax.vmap(lambda p: geo.compose(T, p))(ps))(
+        T_odom_submap, hist_poses)
+
+
 def trajectory(col: SubmapCollection) -> Tuple[Array, Array]:
     """Full odom-frame trajectory (stamps (N,), poses (N,7)) from per-submap
     histories re-posed by the (possibly optimized) submap poses — the
     reference's getPoseHistory (submap_collection.h:95-144)."""
     import numpy as np
 
-    stamps, poses = [], []
+    all_poses = np.asarray(
+        _composed_histories(col.T_odom_submap, col.hist_poses))
+    all_stamps = np.asarray(col.hist_stamps)
+    counts = np.asarray(col.hist_count)
     n = int(col.num_submaps)
+    stamps, poses = [], []
     for k in range(n):
-        h = int(col.hist_count[k])
+        h = int(counts[k])
         if h == 0:
             continue
-        T = jax.vmap(lambda p: geo.compose(col.T_odom_submap[k], p))(
-            col.hist_poses[k, :h]
-        )
-        stamps.append(np.asarray(col.hist_stamps[k, :h]))
-        poses.append(np.asarray(T))
+        stamps.append(all_stamps[k, :h])
+        poses.append(all_poses[k, :h])
     if not stamps:
         return jnp.zeros((0,)), jnp.zeros((0, 7))
-    return jnp.asarray(np.concatenate(stamps)), jnp.asarray(np.concatenate(poses))
+    return (jnp.asarray(np.concatenate(stamps)),
+            jnp.asarray(np.concatenate(poses)))

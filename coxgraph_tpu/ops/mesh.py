@@ -89,6 +89,24 @@ def _build_tet_table() -> Tuple[np.ndarray, np.ndarray]:
 _TRI_EDGES_TABLE, _N_TRIS_TABLE = _build_tet_table()
 
 
+def _onehot(idx: np.ndarray, depth: int) -> np.ndarray:
+    out = np.zeros(idx.shape + (depth,), np.float32)
+    np.put_along_axis(out, idx[..., None], 1.0, axis=-1)
+    return out
+
+
+# One-hot constants so every table lookup in the kernel is an einsum on the
+# MXU instead of a scattered gather (XLA TPU gathers are scalar-slow):
+#   _T8[q,v,c]      — cube-corner selector of tet q's vertex v
+#   _EA/_EB[q,e,c]  — cube-corner selector of tet q's edge e endpoints
+#   _EDGE_SEL[t,a,b,e] — for case t, triangle a, vertex b: which tet edge
+_T8 = _onehot(_TETS, 8)                                        # (6,4,8)
+_EA = _onehot(_TETS[:, _TET_EDGES[:, 0]], 8)                   # (6,6,8)
+_EB = _onehot(_TETS[:, _TET_EDGES[:, 1]], 8)                   # (6,6,8)
+_EDGE_SEL = _onehot(np.maximum(_TRI_EDGES_TABLE, 0), 6)        # (16,2,3,6)
+_N_TRIS_F = _N_TRIS_TABLE.astype(np.float32)
+
+
 @partial(jax.jit, static_argnums=(0, 3))
 def mesh_block_chunk(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
                      slots: Array, min_weight: float = 1e-4):
@@ -100,22 +118,52 @@ def mesh_block_chunk(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
     on device so only real data crosses the host link.
     """
     v = spec.voxels_per_side
+    C = slots.shape[0]
     coords = layer.block_coords[slots]                      # (C,3)
     live = slots < layer.num_blocks
 
-    # corner grid: global voxel index of each of (v+1)³ corners
-    r = jnp.arange(v + 1, dtype=jnp.int32)
+    # Fetch the 2×2×2 neighbourhood of whole blocks per chunk block with ONE
+    # row gather each (contiguous v³ rows are fast on TPU), assemble a dense
+    # (C, 2v, 2v, 2v) array, and slice the (v+1)³ corner grid from it —
+    # no scattered per-voxel gathers.
+    off8 = jnp.stack(
+        jnp.meshgrid(*([jnp.arange(2)] * 3), indexing="ij"), axis=-1
+    ).reshape(8, 3).astype(jnp.int32)                        # (8,3)
+    nb_coords = coords[:, None, :] + off8[None]              # (C,8,3)
+    nb_idx = vx.lookup_block(spec, layer, nb_coords)         # (C,8)
+    safe = jnp.maximum(nb_idx, 0)
+
+    def assemble(pool):
+        # pool: (B, v, v, v, ...) → (C, 2v, 2v, 2v, ...)
+        blocks = pool[safe]                                  # (C,8,v,v,v,...)
+        tail = blocks.shape[5:]
+        big = blocks.reshape((C, 2, 2, 2, v, v, v) + tail)
+        big = jnp.moveaxis(big, (1, 2, 3), (1, 3, 5))        # C,2,v,2,v,2,v
+        return big.reshape((C, 2 * v, 2 * v, 2 * v) + tail)
+
+    big_sdf = assemble(layer.sdf)
+    big_w = assemble(layer.weight)
+    big_c = assemble(layer.color)
+
+    # neighbour allocation mask, expanded per octant (lookup_block only
+    # returns ≥0 for allocated blocks, so this is the full validity)
+    alloc8 = (nb_idx >= 0).reshape(C, 2, 2, 2)
+    alloc_full = jnp.repeat(
+        jnp.repeat(jnp.repeat(alloc8, v, axis=1), v, axis=2), v, axis=3)
+
+    sdf = big_sdf[:, :v + 1, :v + 1, :v + 1]
+    w = big_w[:, :v + 1, :v + 1, :v + 1]
+    ccol = big_c[:, :v + 1, :v + 1, :v + 1]
+    ok = (
+        alloc_full[:, :v + 1, :v + 1, :v + 1]
+        & (w > min_weight) & live[:, None, None, None]
+    )
+    # corner world positions (voxel centers) — pure arithmetic
+    r = jnp.arange(v + 1, dtype=jnp.float32)
     ii, jj, kk = jnp.meshgrid(r, r, r, indexing="ij")
-    corner_local = jnp.stack([ii, jj, kk], axis=-1)          # (v+1,)³,3
-    gvox = coords[:, None, None, None, :] * v + corner_local  # (C,v+1,v+1,v+1,3)
-    sdf, w, ok = vx.voxel_lookup(spec, layer, gvox)
-    ok = ok & (w > min_weight) & live[:, None, None, None]
-    # corner world positions (voxel centers)
-    cpos = (gvox.astype(jnp.float32) + 0.5) * spec.voxel_size
-    # corner colors
-    b, l = vx.voxel_to_block(spec, gvox)
-    bidx = jnp.maximum(vx.lookup_block(spec, layer, b), 0)
-    ccol = layer.color[bidx, l[..., 0], l[..., 1], l[..., 2]]
+    corner_local = jnp.stack([ii, jj, kk], axis=-1)
+    cpos = (coords[:, None, None, None, :].astype(jnp.float32) * v
+            + corner_local + 0.5) * spec.voxel_size
 
     # gather the 8 cube corners for each of v³ cells
     def cell_gather(x):
@@ -137,43 +185,38 @@ def mesh_block_chunk(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
     cp = cp.reshape(n_cells, 8, 3)
     cc = cc.reshape(n_cells, 8, 3)
 
-    tets = jnp.asarray(_TETS)                     # (6,4)
-    tet_edges = jnp.asarray(_TET_EDGES)           # (6,2)
-    tri_table = jnp.asarray(_TRI_EDGES_TABLE)     # (16,2,3)
-    ntri_table = jnp.asarray(_N_TRIS_TABLE)       # (16,)
+    T8 = jnp.asarray(_T8)
+    EA = jnp.asarray(_EA)
+    EB = jnp.asarray(_EB)
+    EDGE_SEL = jnp.asarray(_EDGE_SEL)
+    ntri_f = jnp.asarray(_N_TRIS_F)
 
-    ts = cs[:, tets]                               # (N,6,4) sdf per tet vert
-    tp = cp[:, tets]                               # (N,6,4,3)
-    tc = cc[:, tets]
+    # all table lookups as one-hot contractions (MXU) — see constants above
+    ts = jnp.einsum("nc,qvc->nqv", cs, T8)         # (N,6,4)
+    tp = jnp.einsum("nck,qvc->nqvk", cp, T8)       # (N,6,4,3)
     case = jnp.sum(
         (ts < 0).astype(jnp.int32) * (1 << jnp.arange(4, dtype=jnp.int32)),
         axis=-1,
     )                                              # (N,6)
 
     # interpolated crossing point on each of the 6 tet edges
-    ea = ts[..., tet_edges[:, 0]]                  # (N,6,6)
-    eb = ts[..., tet_edges[:, 1]]
+    ea = jnp.einsum("nc,qec->nqe", cs, EA)         # (N,6,6)
+    eb = jnp.einsum("nc,qec->nqe", cs, EB)
     denom = ea - eb
     t = ea / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
     t = jnp.clip(t, 0.0, 1.0)[..., None]
-    pa = tp[..., tet_edges[:, 0], :]               # (N,6,6,3)
-    pb = tp[..., tet_edges[:, 1], :]
+    pa = jnp.einsum("nck,qec->nqek", cp, EA)       # (N,6,6,3)
+    pb = jnp.einsum("nck,qec->nqek", cp, EB)
     epoint = pa + t * (pb - pa)
-    ca = tc[..., tet_edges[:, 0], :]
-    cb = tc[..., tet_edges[:, 1], :]
+    ca = jnp.einsum("nck,qec->nqek", cc, EA)
+    cb = jnp.einsum("nck,qec->nqek", cc, EB)
     ecolor = ca + t * (cb - ca)
 
-    tri_e = tri_table[case]                        # (N,6,2,3)
-    ntri = ntri_table[case]                        # (N,6)
-    safe_e = jnp.maximum(tri_e, 0)
-    verts = jnp.take_along_axis(
-        epoint[:, :, None, :, :],                  # (N,6,1,6,3)
-        safe_e[..., None].astype(jnp.int32),       # (N,6,2,3,1)
-        axis=3,
-    )                                              # (N,6,2,3,3)
-    colors = jnp.take_along_axis(
-        ecolor[:, :, None, :, :], safe_e[..., None].astype(jnp.int32), axis=3
-    )
+    case_oh = jax.nn.one_hot(case, 16, dtype=cs.dtype)       # (N,6,16)
+    sel = jnp.einsum("nqt,tabe->nqabe", case_oh, EDGE_SEL)   # (N,6,2,3,6)
+    verts = jnp.einsum("nqabe,nqek->nqabk", sel, epoint)     # (N,6,2,3,3)
+    colors = jnp.einsum("nqabe,nqek->nqabk", sel, ecolor)
+    ntri = jnp.einsum("nqt,t->nq", case_oh, ntri_f)          # (N,6)
     tri_valid = (
         (jnp.arange(2)[None, None, :] < ntri[..., None])
         & cok[:, None, None]
@@ -197,38 +240,88 @@ def mesh_block_chunk(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
         flip[..., None, None], colors[..., jnp.array([0, 2, 1]), :], colors
     )
 
-    out_v = verts.reshape(-1, 3, 3)
-    out_c = colors.reshape(-1, 3, 3)
+    # flatten to 1-D: arrays with tiny trailing dims get 14-40x tile
+    # padding on TPU — triangle buffers live as flat (n*9,) floats
+    out_v = verts.reshape(-1, 9)
+    out_c = colors.reshape(-1, 9)
     out_m = tri_valid.reshape(-1)
 
     # device-side compaction: only ~a few % of triangle slots are real, and
     # host transfer (possibly over a TPU tunnel) is the bottleneck. Scatter
-    # valid triangles to the front of a bounded buffer.
+    # valid triangles to the front of a bounded flat buffer.
     cap = out_m.shape[0] // 4
     pos = jnp.cumsum(out_m.astype(jnp.int32)) - 1
-    tgt = jnp.where(out_m & (pos < cap), pos, cap)
-    cv = jnp.zeros((cap, 3, 3), out_v.dtype).at[tgt].set(out_v, mode="drop")
-    cc = jnp.zeros((cap, 3, 3), out_c.dtype).at[tgt].set(out_c, mode="drop")
+    tgt = jnp.where(out_m & (pos < cap), pos, cap)            # (T,)
+    flat_idx = (tgt[:, None] * 9 + jnp.arange(9)[None, :]).reshape(-1)
+    flat_idx = jnp.where(
+        jnp.repeat(out_m & (pos < cap), 9), flat_idx, cap * 9)
+    cv = jnp.zeros((cap * 9,), out_v.dtype).at[flat_idx].set(
+        out_v.reshape(-1), mode="drop")
+    ccf = jnp.zeros((cap * 9,), out_c.dtype).at[flat_idx].set(
+        out_c.reshape(-1), mode="drop")
     n_valid = jnp.minimum(jnp.sum(out_m.astype(jnp.int32)), cap)
-    return cv, cc, n_valid
+    return cv, ccf, n_valid
+
+
+def _mesh_chunk_impl(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
+                     slots: Array, min_weight: float):
+    """Unjitted mesh_block_chunk body (for composition under lax.scan)."""
+    return mesh_block_chunk.__wrapped__(spec, layer, slots, min_weight)
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def extract_mesh_device(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
+                        min_weight: float = 1e-4, chunk: int = 16,
+                        max_tris: int = 2_000_000):
+    """Whole-layer mesh extraction in ONE device dispatch.
+
+    lax.scan over block chunks; each chunk's compacted triangles are
+    scattered into a global fixed-capacity buffer at a running offset —
+    a single host sync/transfer instead of one per chunk (critical on
+    remote-attached TPUs where every sync is a network round trip).
+
+    Returns (verts (max_tris,3,3), colors (max_tris,3,3), count ()).
+    """
+    n_chunks = -(-layer.max_blocks // chunk)
+
+    # per-chunk triangle capacity (mesh_block_chunk front-compacts into it)
+    cap = chunk * (spec.voxels_per_side ** 3) * 3
+
+    def body(carry, c):
+        verts_g, cols_g, off = carry
+        slots = c * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        v, col, cnt = _mesh_chunk_impl(spec, layer, slots, min_weight)
+        # chunks are front-compacted → append with ONE contiguous
+        # dynamic_update_slice (TPU scatter would serialize); the garbage
+        # tail of each window is overwritten by the next chunk and the
+        # buffer carries `cap` slack so the window always fits.
+        off_c = jnp.minimum(off, max_tris)
+        verts_g = jax.lax.dynamic_update_slice(verts_g, v, (off_c * 9,))
+        cols_g = jax.lax.dynamic_update_slice(cols_g, col, (off_c * 9,))
+        return (verts_g, cols_g,
+                jnp.minimum(off_c + cnt, max_tris)), None
+
+    # dead slots (≥ num_blocks) emit nothing inside mesh_block_chunk, so
+    # the scan is shape-static and correct for any fill level.
+    init = (jnp.zeros(((max_tris + cap) * 9,), jnp.float32),
+            jnp.zeros(((max_tris + cap) * 9,), jnp.float32),
+            jnp.zeros((), jnp.int32))
+    (verts, cols, count), _ = jax.lax.scan(
+        body, init, jnp.arange(n_chunks, dtype=jnp.int32))
+    return verts, cols, count
 
 
 def extract_mesh(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
-                 min_weight: float = 1e-4, chunk: int = 32):
+                 min_weight: float = 1e-4, chunk: int = 16,
+                 max_tris: int = 2_000_000):
     """Full-layer mesh extraction → (verts (T,3,3), colors (T,3,3)) numpy,
-    compacted. Host-driven chunking over the block pool."""
-    n = int(layer.num_blocks)
-    all_v, all_c = [], []
-    for start in range(0, max(n, 1), chunk):
-        slots = jnp.arange(start, start + chunk, dtype=jnp.int32)
-        vts, cls, cnt = mesh_block_chunk(spec, layer, slots, min_weight)
-        k = int(cnt)
-        if k > 0:
-            # bucket the slice length to the next power of two so the
-            # device→host slice compiles O(log cap) times, not per-chunk
-            kb = min(1 << (k - 1).bit_length(), vts.shape[0])
-            all_v.append(np.asarray(vts[:kb])[:k])
-            all_c.append(np.asarray(cls[:kb])[:k])
-    if not all_v:
+    compacted. One device dispatch + one bucketed host transfer."""
+    from ..utils.hostops import bucket_slice
+
+    verts, cols, cnt = extract_mesh_device(spec, layer, min_weight, chunk,
+                                           max_tris)
+    k = int(cnt)
+    if k == 0:
         return np.zeros((0, 3, 3), np.float32), np.zeros((0, 3, 3), np.float32)
-    return np.concatenate(all_v), np.concatenate(all_c)
+    return (bucket_slice(verts, k * 9).reshape(-1, 3, 3),
+            bucket_slice(cols, k * 9).reshape(-1, 3, 3))

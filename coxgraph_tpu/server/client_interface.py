@@ -57,37 +57,44 @@ class InProcessClient:
 
     def timeline(self) -> Tuple[float, float]:
         col = self.state.collection
-        n = int(col.num_submaps)
+        n = int(col.num_submaps)  # () ready buffer — free
         if n == 0:
             return (0.0, -1.0)
-        return (float(col.start_time[0]), float(col.end_time[n - 1]))
+        # whole-buffer transfers only: per-index eager reads compile a
+        # fresh program per index on remote TPUs (utils/hostops)
+        return (float(np.asarray(col.start_time)[0]),
+                float(np.asarray(col.end_time)[n - 1]))
 
     # -- services ----------------------------------------------------------
 
     def _submap_index_at(self, t: float) -> Optional[int]:
         col = self.state.collection
         n = int(col.num_submaps)
+        start = np.asarray(col.start_time)
+        end = np.asarray(col.end_time)
         for k in range(n):
-            if float(col.start_time[k]) - 1e-6 <= t <= float(col.end_time[k]) + 1e-6:
+            if start[k] - 1e-6 <= t <= end[k] + 1e-6:
                 return k
         return None
 
     def _handle(self, k: int) -> SubmapHandle:
         col = self.state.collection
-        h = int(col.hist_count[k])
+        h = int(np.asarray(col.hist_count)[k])
         layer = sm._get_layer(col.layers, jnp.asarray(k))
         if k not in self.sent_submaps:
             self.sent_submaps.add(k)
             self.bytes_sent += vx.memory_size_bytes(layer)
+        start = np.asarray(col.start_time)
+        end = np.asarray(col.end_time)
         return SubmapHandle(
             client_id=self.client_id,
             client_submap_id=k,
             layer=layer,
-            T_cli_submap=col.T_odom_submap[k],
-            start_time=float(col.start_time[k]),
-            end_time=float(col.end_time[k]),
-            hist_stamps=np.asarray(col.hist_stamps[k, :h]),
-            hist_poses=col.hist_poses[k, :h],
+            T_cli_submap=jnp.asarray(np.asarray(col.T_odom_submap)[k]),
+            start_time=float(start[k]),
+            end_time=float(end[k]),
+            hist_stamps=np.asarray(col.hist_stamps)[k, :h],
+            hist_poses=jnp.asarray(np.asarray(col.hist_poses)[k, :h]),
         )
 
     def get_submap_by_time(self, t: float) -> Optional[SubmapHandle]:
@@ -102,11 +109,13 @@ class InProcessClient:
 
     def lookup_pose_in_submap(self, k: int, t: float) -> Array:
         """T_submap_cam at time t from the submap's history
-        (voxgraph lookupPoseByTime, used at coxgraph_client.cpp:53-57)."""
+        (voxgraph lookupPoseByTime, used at coxgraph_client.cpp:53-57).
+        Interpolates on the host (whole-buffer transfers only)."""
         col = self.state.collection
-        h = int(col.hist_count[k])
-        return geo.lookup_pose(col.hist_stamps[k, :h], col.hist_poses[k, :h],
-                               jnp.asarray(t))
+        h = int(np.asarray(col.hist_count)[k])
+        stamps = np.asarray(col.hist_stamps)[k, :h]
+        poses = np.asarray(col.hist_poses)[k, :h]
+        return jnp.asarray(geo.lookup_pose_np(stamps, poses, t))
 
     # -- server → client ----------------------------------------------------
 
@@ -132,9 +141,10 @@ class InProcessClient:
         """Server-optimized submap poses pushed back
         (MapPoseUpdates topic, client_handler.cpp:106-129)."""
         col = self.state.collection
-        T = col.T_odom_submap
+        T = np.asarray(col.T_odom_submap).copy()
         for k, pose in updates:
-            T = T.at[k].set(pose)
+            T[k] = np.asarray(pose)
         self.state = dataclasses.replace(
             self.state,
-            collection=dataclasses.replace(col, T_odom_submap=T))
+            collection=dataclasses.replace(col,
+                                           T_odom_submap=jnp.asarray(T)))

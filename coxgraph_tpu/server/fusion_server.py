@@ -48,7 +48,14 @@ class ServerConfig:
     fusion_sqrt_info: float = 10.0
     registration: reg.RegistrationConfig = reg.RegistrationConfig()
     solver: pg.SolverConfig = pg.SolverConfig()
-    refine_fusion_with_icp: bool = True
+    # Pre-refining the MapFusion measurement with pairwise ICP is OFF by
+    # default: dense registration already enters the global solve as
+    # phase-2 residuals weighted against the loop constraint (the
+    # reference's design, pose_graph_interface.cpp:32-49); replacing the
+    # feature-based measurement outright lets grazing-incidence TSDF bias
+    # rotate an accurate transform.
+    refine_fusion_with_icp: bool = False
+    icp_max_correction: float = 0.15   # reject ICP drift beyond this (se3)
     registration_weight: float = 30.0
 
 
@@ -164,11 +171,14 @@ class CoxgraphServer:
         return sid
 
     def _poses(self) -> Array:
-        """Current global submap pose array (padded to max_submaps)."""
-        n = len(self.submaps)
-        poses = [s.T_G_submap for s in self.submaps]
-        pad = [geo.identity()] * (self.cfg.max_submaps - n)
-        return jnp.stack(poses + pad)
+        """Current global submap pose array (padded to max_submaps).
+        Assembled in numpy: jnp.stack over a varying count would compile a
+        fresh program per count on remote TPUs (utils/hostops)."""
+        out = np.tile(np.array([1, 0, 0, 0, 0, 0, 0], np.float32),
+                      (self.cfg.max_submaps, 1))
+        for s in self.submaps:
+            out[s.sid] = np.asarray(s.T_G_submap)
+        return jnp.asarray(out)
 
     # ------------------------------------------------------------------
     # Timeline / future-fusion machinery (coxgraph_server.cpp:328-366)
@@ -224,7 +234,11 @@ class CoxgraphServer:
             r = reg.register_pair(self.cfg.spec, self.submaps[sa].layer,
                                   self.submaps[sb].layer, T_sa_sb,
                                   self.cfg.registration)
-            if int(r.n_inliers) > 50 and float(r.cost) <= float(r.initial_cost):
+            correction = float(jnp.linalg.norm(geo.se3_log(
+                geo.relative(T_sa_sb, r.T_A_B))))
+            if (int(r.n_inliers) > 50
+                    and float(r.cost) <= float(r.initial_cost)
+                    and correction < self.cfg.icp_max_correction):
                 T_sa_sb = r.T_A_B
 
         si = (mf.sqrt_info if mf.sqrt_info is not None
@@ -284,6 +298,7 @@ class CoxgraphServer:
         ci = np.asarray(self.constraints.i)
         cj = np.asarray(self.constraints.j)
         valid = np.asarray(self.constraints.valid)
+        poses_np = np.asarray(poses)
         n_meas = 0
         for m in range(len(valid)):
             if not valid[m]:
@@ -295,11 +310,13 @@ class CoxgraphServer:
             if sa.client_id == sb.client_id:
                 continue
             # T_CA_CB = T_CA_sma · (T_G_sma⁻¹ · T_G_smb) · T_CB_smb⁻¹
-            T = geo.compose(
-                geo.compose(sa.T_cli_submap,
-                            geo.relative(poses[a], poses[b])),
-                geo.inverse(sb.T_cli_submap))
-            cons = cons.add(cidx[sa.client_id], cidx[sb.client_id], T)
+            # (host math: see utils/hostops remote-TPU rule)
+            T = geo.compose_np(
+                geo.compose_np(np.asarray(sa.T_cli_submap),
+                               geo.relative_np(poses_np[a], poses_np[b])),
+                geo.inverse_np(np.asarray(sb.T_cli_submap)))
+            cons = cons.add(cidx[sa.client_id], cidx[sb.client_id],
+                            jnp.asarray(T))
             n_meas += 1
         if n_meas == 0:
             return
@@ -360,11 +377,10 @@ class CoxgraphServer:
         for s in self.submaps:
             if s.client_id != client_id or len(s.hist_stamps) == 0:
                 continue
-            T_G_sm = s.T_G_submap
-            seg = [geo.compose(T_G_sm, s.hist_poses[k])
-                   for k in range(len(s.hist_stamps))]
+            T_G_sm = np.asarray(s.T_G_submap)
+            seg = geo.compose_np(T_G_sm[None, :], np.asarray(s.hist_poses))
             stamps.append(s.hist_stamps)
-            poses.extend(seg)
+            poses.append(seg)
         if not stamps:
             return np.zeros((0,)), np.zeros((0, 7))
-        return np.concatenate(stamps), np.asarray(jnp.stack(poses))
+        return np.concatenate(stamps), np.concatenate(poses)

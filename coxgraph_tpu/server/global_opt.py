@@ -35,7 +35,8 @@ def submap_aabb(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer) -> np.ndarray:
     n = int(layer.num_blocks)
     if n == 0:
         return np.zeros((2, 3), np.float32)
-    bc = np.asarray(layer.block_coords[:n], np.float32) * spec.block_size
+    bc = np.asarray(layer.block_coords)[:n].astype(np.float32) \
+        * spec.block_size
     return np.stack([bc.min(0), bc.max(0) + spec.block_size])
 
 
@@ -43,11 +44,12 @@ def aabb_overlap(a: np.ndarray, b: np.ndarray, margin: float = 0.0) -> bool:
     return bool(np.all(a[0] - margin <= b[1]) and np.all(b[0] - margin <= a[1]))
 
 
-def transformed_aabb(aabb: np.ndarray, T: Array) -> np.ndarray:
-    """Conservative world-frame AABB of a posed submap AABB."""
+def transformed_aabb(aabb: np.ndarray, T) -> np.ndarray:
+    """Conservative world-frame AABB of a posed submap AABB (host math)."""
+    T = np.asarray(T)
     corners = np.array([[aabb[i, 0], aabb[j, 1], aabb[k, 2]]
                         for i in (0, 1) for j in (0, 1) for k in (0, 1)])
-    w = np.asarray(geo.transform_points(T, jnp.asarray(corners)))
+    w = geo._np_quat_rotate(T[None, :4], corners) + T[4:7]
     return np.stack([w.min(0), w.max(0)])
 
 
@@ -60,7 +62,8 @@ def find_overlapping_pairs(spec: vx.VoxelGridSpec,
     """Candidate registration pairs by world-AABB intersection
     (updateRegistrationConstraints overlap detection)."""
     n = len(layers)
-    boxes = [transformed_aabb(submap_aabb(spec, layers[k]), poses[k])
+    poses_np = np.asarray(poses)
+    boxes = [transformed_aabb(submap_aabb(spec, layers[k]), poses_np[k])
              for k in range(n)]
     skip = set(skip_adjacent_same_client or [])
     pairs = []
@@ -145,10 +148,12 @@ def optimize_two_phase(poses: Array,
                                              fixed_all)
         H = np.array(H)   # writable host copies
         b = np.array(b)
+        poses_np = np.asarray(poses)
         for p in rpairs:
             Hp, bp, _, nin = reg.registration_normal_eq(
                 spec, layers[p.j], p.pts_i, p.sdf_i, p.mask_i,
-                poses[p.i], poses[p.j], reg_cfg.huber_delta)
+                jnp.asarray(poses_np[p.i]), jnp.asarray(poses_np[p.j]),
+                reg_cfg.huber_delta)
             scale = w2 / max(int(nin), 1)
             Hp = np.asarray(Hp) * scale
             bp = np.asarray(bp) * scale

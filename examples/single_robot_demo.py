@@ -57,19 +57,24 @@ def main():
     odom = syn.noisy_odometry(jax.random.PRNGKey(0), traj,
                               rot_std=0.004, trans_std=0.01)
 
+    # host copies — per-index eager device reads compile per index on
+    # remote TPUs (utils/hostops)
+    traj_np = np.asarray(traj)
+    odom_np = np.asarray(odom)
     timers = runtime.Timers()
-    state = sm.create_mapper(cfg)
+    mapper = sm.HostMapper(cfg)
     t_start = time.time()
     for i in range(args.frames):
         with timers.scope("render"):
-            depth, color = syn.render_depth(scene, cfg.intrinsics, traj[i])
+            depth, color = syn.render_depth(scene, cfg.intrinsics,
+                                            jnp.asarray(traj_np[i]))
             jax.block_until_ready(depth)
         with timers.scope("mapper_step"):
-            state, started = sm.mapper_step(cfg, state, depth, color,
-                                            odom[i], i * dt)
-            jax.block_until_ready(state.frame_count)
+            mapper.step(depth, color, jnp.asarray(odom_np[i]), i * dt)
+            jax.block_until_ready(mapper.state.frame_count)
+    state = mapper.state
     wall = time.time() - t_start
-    ns = int(state.collection.num_submaps)
+    ns = mapper.n_submaps
     print(f"integrated {args.frames} frames → {ns} submaps "
           f"in {wall:.1f}s ({args.frames / wall:.1f} fps)")
 
@@ -80,12 +85,13 @@ def main():
                                align=False)
 
     # loop closure: ground-truth relative pose between first and last submap
-    # (feature-based loop detection lands in ops/features)
-    frame_of = [int(round(float(state.collection.start_time[k]) / dt))
-                for k in range(ns)]
-    T_true = jnp.stack([traj[f] for f in frame_of])
+    # (the feature-based path is exercised by two_robot_demo.py)
+    start_np = np.asarray(state.collection.start_time)
+    frame_of = [int(round(float(start_np[k]) / dt)) for k in range(ns)]
+    T_true = np.stack([traj_np[f] for f in frame_of])
     state = sm.add_loop_closure(
-        state, 0, ns - 1, geo.relative(T_true[0], T_true[ns - 1]),
+        state, 0, ns - 1,
+        jnp.asarray(geo.relative_np(T_true[0], T_true[ns - 1])),
         50.0 * jnp.eye(6))
     with timers.scope("local_pgo"):
         state = sm.optimize_local(cfg, state,

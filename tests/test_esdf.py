@@ -24,7 +24,7 @@ def sphere_tsdf(center, radius, nblk=2):
         layer,
         sdf=jnp.where(live, jnp.clip(true, -SPEC.truncation, SPEC.truncation),
                       layer.sdf),
-        weight=jnp.where(live, 1.0, 0.0),
+        weight=jnp.where(live, jnp.ones_like(layer.weight), 0.0),
     ), true
 
 

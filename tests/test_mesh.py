@@ -29,7 +29,7 @@ def make_sphere_layer(center, radius):
     return dataclasses.replace(
         layer,
         sdf=jnp.where(live, sdf, layer.sdf),
-        weight=jnp.where(live, 1.0, 0.0),
+        weight=jnp.where(live, jnp.ones_like(layer.weight), 0.0),
     )
 
 
