@@ -1,0 +1,334 @@
+"""Mesh-with-history transport — the reference's L2 map-communication tier
+(SURVEY.md §2.4): ship a compact submap *mesh* whose triangles remember
+which keyframe observed them, decode it into per-keyframe pointclouds, and
+re-integrate those into a fresh TSDF at the receiver.
+
+Reference capabilities re-provided here:
+  * MeshConverter (mesh_converter.h:93-265): uint16-quantized vertex
+    decoding, extra-point interpolation along triangle edges + centroid at
+    ``interpolate_voxel_size`` spacing with color blending, and bucketing
+    of points by observing-frame timestamp;
+  * TsdfRecover (tsdf_recover.h:59-99): mesh → pointclouds → re-integrated
+    TSDF layer via the standard integrator.
+
+TPU-first shifts: the wire mesh is an *indexed* mesh vertex-clustered to
+voxel resolution (ops/mesh_post) — the marching-tetrahedra soup is ~6x
+redundant, and clustering is the lossless-at-voxel-scale way to hit the
+bandwidth target the reference gets from voxblox's per-block vertex
+sharing. The observation history is an explicit per-triangle keyframe id
+assigned by best-view analysis at encode time (the reference piggybacks on
+voxblox integrator bookkeeping). Re-integration renders each keyframe's
+points into a virtual depth/color image with a z-buffer scatter (one jit)
+and reuses the projective TSDF integrator — point-based ray-casting would
+serialize on TPU, a dense virtual frame does not.
+
+Note this transport is OPTIONAL here: comm/wire.py ships quantized voxel
+blocks directly (no lossy round trip) and is the default. mesh_comm exists
+for parity + for bandwidth-starved deployments (it carries only the
+surface crust, not the truncation band).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import geometry as geo
+from ..core import voxel as vx
+from ..frontends.synthetic import PinholeIntrinsics
+from ..ops import mesh as mesh_ops
+from ..ops import mesh_post
+from ..ops import tsdf as tsdf_ops
+
+Array = jax.Array
+
+_HDR = struct.Struct("<II II I dd 3f f")  # cid, csid, n_verts, n_faces,
+#                                           n_kf, t0, t1, aabb_min, scale
+
+
+@dataclasses.dataclass
+class MeshWithHistory:
+    """The wire message (coxgraph_msgs/MeshWithTrajectory equivalent:
+    voxblox MultiMesh + nav_msgs/Path, MeshWithTrajectory.msg)."""
+
+    client_id: int
+    submap_id: int
+    t0: float
+    t1: float
+    aabb_min: np.ndarray       # (3,) f32
+    scale: float               # quantization step (m per uint16 LSB)
+    qverts: np.ndarray         # (V,3) uint16 — quantized submap-frame verts
+    vcolors: np.ndarray        # (V,3) uint8
+    faces: np.ndarray          # (F,3) uint32
+    frame_idx: np.ndarray      # (F,) uint16 — observing keyframe per face
+    kf_stamps: np.ndarray      # (K,) f64
+    kf_poses: np.ndarray       # (K,7) f32 T_submap_cam
+
+    def pack(self) -> bytes:
+        """→ bytes (the ROS-serialization equivalent; sizeOfMsg analogue
+        for bandwidth accounting, msg_converter.h:149-167)."""
+        head = _HDR.pack(self.client_id, self.submap_id,
+                         self.qverts.shape[0], self.faces.shape[0],
+                         self.kf_stamps.shape[0],
+                         self.t0, self.t1, *map(float, self.aabb_min),
+                         self.scale)
+        # face indices ride as u16 whenever the clustered vertex count
+        # allows (it virtually always does) — they dominate the payload
+        fdtype = np.uint16 if self.qverts.shape[0] <= 0xFFFF else np.uint32
+        return b"".join([
+            head,
+            np.ascontiguousarray(self.qverts, np.uint16).tobytes(),
+            np.ascontiguousarray(self.vcolors, np.uint8).tobytes(),
+            np.ascontiguousarray(self.faces.astype(fdtype)).tobytes(),
+            np.ascontiguousarray(self.frame_idx, np.uint16).tobytes(),
+            np.ascontiguousarray(self.kf_stamps, np.float64).tobytes(),
+            np.ascontiguousarray(self.kf_poses, np.float32).tobytes(),
+        ])
+
+    @staticmethod
+    def unpack(buf: bytes) -> "MeshWithHistory":
+        (cid, csid, V, F, K, t0, t1, ax, ay, az,
+         scale) = _HDR.unpack_from(buf, 0)
+        off = _HDR.size
+        qverts = np.frombuffer(buf, np.uint16, V * 3, off).reshape(V, 3)
+        off += V * 6
+        vcolors = np.frombuffer(buf, np.uint8, V * 3, off).reshape(V, 3)
+        off += V * 3
+        fdtype = np.uint16 if V <= 0xFFFF else np.uint32
+        faces = np.frombuffer(buf, fdtype, F * 3, off).reshape(
+            F, 3).astype(np.uint32)
+        off += F * 3 * fdtype().itemsize
+        frame_idx = np.frombuffer(buf, np.uint16, F, off)
+        off += F * 2
+        kf_stamps = np.frombuffer(buf, np.float64, K, off)
+        off += K * 8
+        kf_poses = np.frombuffer(buf, np.float32, K * 7, off).reshape(K, 7)
+        return MeshWithHistory(cid, csid, t0, t1,
+                               np.array([ax, ay, az], np.float32), scale,
+                               qverts.copy(), vcolors.copy(), faces.copy(),
+                               frame_idx.copy(), kf_stamps.copy(),
+                               kf_poses.copy())
+
+    @property
+    def nbytes(self) -> int:
+        fb = 6 if self.qverts.shape[0] <= 0xFFFF else 12
+        return (_HDR.size + self.qverts.shape[0] * 9
+                + self.faces.shape[0] * (fb + 2)
+                + self.kf_stamps.shape[0] * 36)
+
+    def vertices(self) -> np.ndarray:
+        """Dequantized submap-frame vertices (V,3) f32 (MeshConverter
+        uint16 decode, mesh_converter.h:93-110)."""
+        return (self.qverts.astype(np.float32) * self.scale
+                + self.aabb_min[None, :])
+
+
+# ---------------------------------------------------------------------------
+# Encode (sender side)
+# ---------------------------------------------------------------------------
+
+
+def _project_np(intr: PinholeIntrinsics, p_cam: np.ndarray):
+    """Points in camera frame (N,3) → (u, v, z, in_image)."""
+    z = p_cam[:, 2]
+    zs = np.maximum(z, 1e-6)
+    u = p_cam[:, 0] / zs * intr.fx + intr.cx
+    v = p_cam[:, 1] / zs * intr.fy + intr.cy
+    ok = (z > 0.05) & (u >= 0) & (u < intr.width) & (v >= 0) & (v < intr.height)
+    return u, v, z, ok
+
+
+def encode_submap_mesh(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
+                       hist_stamps: np.ndarray, hist_poses: np.ndarray,
+                       intr: PinholeIntrinsics,
+                       client_id: int = 0, submap_id: int = 0,
+                       keyframe_stride: int = 4,
+                       min_weight: float = 1e-4,
+                       cluster_scale: float = 1.5) -> MeshWithHistory:
+    """Submap → MeshWithHistory: extract the mesh, vertex-cluster it to
+    ≈cluster_scale·voxel_size, subsample the pose history into keyframes,
+    and tag every face with the keyframe that best observes its centroid
+    (in-frustum, nearest). Replaces the voxblox mesh_with_history emission
+    consumed at tsdf_recover.h:119-136."""
+    soup_v, soup_c = mesh_ops.extract_mesh(spec, layer,
+                                           min_weight=min_weight)
+    mesh = mesh_post.connect_soup(soup_v, soup_c)
+    mesh = mesh_post.simplify_vertex_clustering(
+        mesh, cluster_scale * spec.voxel_size)
+    hist_stamps = np.asarray(hist_stamps, np.float64)
+    hist_poses = np.asarray(hist_poses, np.float32)
+    kf = np.arange(0, max(len(hist_stamps), 1), keyframe_stride)
+    kf_stamps = hist_stamps[kf] if len(hist_stamps) else np.zeros((1,))
+    kf_poses = (hist_poses[kf] if len(hist_poses)
+                else np.tile(np.array([1, 0, 0, 0, 0, 0, 0], np.float32),
+                             (1, 1)))
+
+    if mesh.n_vertices == 0:
+        return MeshWithHistory(
+            client_id, submap_id,
+            float(kf_stamps[0]), float(kf_stamps[-1]),
+            np.zeros(3, np.float32), spec.voxel_size / 64.0,
+            np.zeros((0, 3), np.uint16), np.zeros((0, 3), np.uint8),
+            np.zeros((0, 3), np.uint32),
+            np.zeros((0,), np.uint16), kf_stamps, kf_poses)
+
+    centroids = mesh.vertices[mesh.faces].mean(axis=1)   # (F,3)
+    # best-view assignment: nearest in-frustum keyframe, with a plain
+    # nearest-keyframe fallback for faces outside every frustum
+    best = np.full(centroids.shape[0], np.inf)
+    fidx = np.zeros(centroids.shape[0], np.uint16)
+    nearest = np.full(centroids.shape[0], np.inf)
+    nidx = np.zeros(centroids.shape[0], np.uint16)
+    for k in range(kf_poses.shape[0]):
+        T_cam_sm = geo.inverse_np(kf_poses[k])
+        p_cam = geo.transform_points_np(T_cam_sm, centroids)
+        _, _, _, ok = _project_np(intr, p_cam)
+        d = np.linalg.norm(p_cam, axis=1)
+        upd = ok & (d < best)
+        best[upd] = d[upd]
+        fidx[upd] = k
+        near_upd = d < nearest
+        nearest[near_upd] = d[near_upd]
+        nidx[near_upd] = k
+    unseen = ~np.isfinite(best)
+    fidx[unseen] = nidx[unseen]
+
+    aabb_min = mesh.vertices.min(axis=0)
+    extent = mesh.vertices.max(axis=0) - aabb_min
+    scale = max(float(extent.max()) / 65535.0, 1e-6)
+    q = np.clip((mesh.vertices - aabb_min[None, :]) / scale, 0,
+                65535).astype(np.uint16)
+    c8 = (np.clip(mesh.colors * 255.0, 0, 255).astype(np.uint8)
+          if mesh.colors is not None
+          else np.zeros((mesh.n_vertices, 3), np.uint8))
+    return MeshWithHistory(
+        client_id, submap_id, float(kf_stamps[0]), float(kf_stamps[-1]),
+        aabb_min.astype(np.float32), scale, q, c8,
+        mesh.faces.astype(np.uint32), fidx, kf_stamps, kf_poses)
+
+
+# ---------------------------------------------------------------------------
+# Decode (receiver side) — MeshConverter equivalent
+# ---------------------------------------------------------------------------
+
+
+def _bary_lattice(level: int) -> np.ndarray:
+    """Barycentric lattice weights for subdivision level ℓ:
+    {(i,j,ℓ-i-j)/ℓ} — includes corners, edge points and interior
+    (centroid for ℓ=3k) — ((ℓ+1)(ℓ+2)/2, 3)."""
+    pts = []
+    for i in range(level + 1):
+        for j in range(level + 1 - i):
+            pts.append((i, j, level - i - j))
+    return np.asarray(pts, np.float64) / level
+
+
+def decode_to_pointclouds(msg: MeshWithHistory,
+                          interpolate_voxel_size: float = 0.05,
+                          max_level: int = 4
+                          ) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
+    """MeshWithHistory → {keyframe id: (sensor-frame points (N,3),
+    colors (N,3) f32)}. Each triangle emits a barycentric lattice of
+    points at ≈ interpolate_voxel_size spacing with blended colors
+    (interpolateTriangle, mesh_converter.h:211-265), bucketed by its
+    observing keyframe (:144-159) and transformed into that keyframe's
+    sensor frame (getNextPointcloud, :186-209)."""
+    if msg.faces.shape[0] == 0:
+        return {}
+    tri_v = msg.vertices()[msg.faces]                    # (F,3,3)
+    tri_c = (msg.vcolors.astype(np.float32) / 255.0)[msg.faces]
+    edge = np.linalg.norm(
+        tri_v - tri_v[:, [1, 2, 0], :], axis=-1).max(axis=1)   # (F,)
+    level = np.clip(np.ceil(edge / max(interpolate_voxel_size, 1e-6)
+                            ).astype(np.int64), 1, max_level)
+
+    pts_parts, col_parts, fr_parts = [], [], []
+    for lv in range(1, max_level + 1):
+        sel = level == lv
+        if not np.any(sel):
+            continue
+        w = _bary_lattice(lv)                            # (P,3)
+        p = np.einsum("pk,tkd->tpd", w, tri_v[sel])      # (t,P,3)
+        c = np.einsum("pk,tkd->tpd", w, tri_c[sel])
+        f = np.repeat(msg.frame_idx[sel], w.shape[0])
+        pts_parts.append(p.reshape(-1, 3))
+        col_parts.append(c.reshape(-1, 3))
+        fr_parts.append(f)
+    pts = np.concatenate(pts_parts).astype(np.float32)
+    cls = np.concatenate(col_parts).astype(np.float32)
+    frs = np.concatenate(fr_parts)
+
+    out: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+    for k in np.unique(frs):
+        m = frs == k
+        T_cam_sm = geo.inverse_np(msg.kf_poses[int(k)])
+        out[int(k)] = (geo.transform_points_np(T_cam_sm, pts[m]), cls[m])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Recover (receiver side) — TsdfRecover equivalent
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _render_points(intr: PinholeIntrinsics, pts_cam: Array, cols: Array,
+                   valid: Array) -> Tuple[Array, Array]:
+    """Z-buffer point splat: sensor-frame points → (depth (H,W),
+    color (H,W,3)). Nearest point wins per pixel (sorted-scatter)."""
+    H, W = intr.height, intr.width
+    z = pts_cam[:, 2]
+    zs = jnp.maximum(z, 1e-6)
+    u = jnp.round(pts_cam[:, 0] / zs * intr.fx + intr.cx).astype(jnp.int32)
+    v = jnp.round(pts_cam[:, 1] / zs * intr.fy + intr.cy).astype(jnp.int32)
+    ok = valid & (z > 0.05) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+    lin = jnp.where(ok, v * W + jnp.clip(u, 0, W - 1), H * W)
+    depth = jnp.full((H * W,), jnp.inf, jnp.float32)
+    depth = depth.at[lin].min(z, mode="drop")
+    # nearest-wins color: scatter in descending-z order (last write wins)
+    order = jnp.argsort(jnp.where(ok, -z, -jnp.inf))
+    color = jnp.zeros((H * W, 3), jnp.float32)
+    color = color.at[lin[order]].set(cols[order], mode="drop")
+    depth = jnp.where(jnp.isfinite(depth), depth, 0.0)
+    return depth.reshape(H, W), color.reshape(H, W, 3)
+
+
+def render_points(intr: PinholeIntrinsics, pts_cam: np.ndarray,
+                  cols: np.ndarray) -> Tuple[Array, Array]:
+    """Host wrapper: pads to power-of-two buckets (bounded jit cache)."""
+    n = pts_cam.shape[0]
+    cap = max(1 << (max(n, 1) - 1).bit_length(), 256)
+    p = np.zeros((cap, 3), np.float32)
+    c = np.zeros((cap, 3), np.float32)
+    m = np.zeros((cap,), bool)
+    p[:n] = pts_cam
+    c[:n] = cols
+    m[:n] = True
+    return _render_points(intr, jnp.asarray(p), jnp.asarray(c),
+                          jnp.asarray(m))
+
+
+def recover_layer(spec: vx.VoxelGridSpec, cfg: tsdf_ops.TsdfIntegratorConfig,
+                  intr: PinholeIntrinsics, msg: MeshWithHistory,
+                  interpolate_voxel_size: Optional[float] = None
+                  ) -> vx.TsdfLayer:
+    """Rebuild a TSDF layer from a MeshWithHistory: per keyframe, splat its
+    pointcloud into a virtual RGB-D frame and run the projective
+    integrator (TsdfRecover::processMesh, tsdf_recover.h:59-99)."""
+    space = (interpolate_voxel_size if interpolate_voxel_size is not None
+             else spec.voxel_size)
+    clouds = decode_to_pointclouds(msg, interpolate_voxel_size=space)
+    layer = vx.create_tsdf_layer(spec)
+    for k in sorted(clouds):
+        pts_cam, cols = clouds[k]
+        depth, color = render_points(intr, pts_cam, cols)
+        layer = tsdf_ops.integrate_frame(
+            spec, cfg, intr, layer, depth, color,
+            jnp.asarray(msg.kf_poses[k]))
+    return layer

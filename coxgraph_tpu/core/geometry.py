@@ -379,6 +379,14 @@ def relative_np(Ta, Tb):
     return compose_np(inverse_np(Ta), Tb)
 
 
+def transform_points_np(T, p):
+    """NumPy twin of transform_points(): T (7,) applied to p (...,3)."""
+    import numpy as np
+    T = np.asarray(T)
+    p = np.asarray(p)
+    return _np_quat_rotate(T[None, :4], p) + T[None, 4:7]
+
+
 def lookup_pose_np(stamps, poses, t: float):
     """Pure-NumPy lookup_pose for host-side control code — on
     remote-attached TPUs every eager device op with a new shape/constant

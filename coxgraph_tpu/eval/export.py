@@ -54,6 +54,41 @@ def write_ply(path: str, tri_verts: np.ndarray,
     return int(uniq.shape[0])
 
 
+def write_ply_indexed(path: str, vertices: np.ndarray, faces: np.ndarray,
+                      vertex_colors: np.ndarray | None = None) -> int:
+    """Write an already-indexed mesh (e.g. ops.mesh_post.IndexedMesh output)
+    to binary PLY. vertices (V,3) f32, faces (F,3) i32, vertex_colors (V,3)
+    in [0,1] or None. Returns V."""
+    vertices = np.asarray(vertices, np.float32)
+    faces = np.asarray(faces, np.int32)
+    has_color = vertex_colors is not None
+    with open(path, "wb") as f:
+        hdr = ["ply", "format binary_little_endian 1.0",
+               f"element vertex {vertices.shape[0]}",
+               "property float x", "property float y", "property float z"]
+        if has_color:
+            hdr += ["property uchar red", "property uchar green",
+                    "property uchar blue"]
+        hdr += [f"element face {faces.shape[0]}",
+                "property list uchar int vertex_indices", "end_header"]
+        f.write(("\n".join(hdr) + "\n").encode())
+        if has_color:
+            cols = (255.0 * np.asarray(vertex_colors, np.float64)).clip(
+                0, 255).astype(np.uint8)
+            rec = np.zeros(vertices.shape[0],
+                           dtype=[("xyz", "<f4", 3), ("rgb", "u1", 3)])
+            rec["xyz"] = vertices
+            rec["rgb"] = cols
+            f.write(rec.tobytes())
+        else:
+            f.write(vertices.astype("<f4").tobytes())
+        frec = np.zeros(faces.shape[0], dtype=[("n", "u1"), ("idx", "<i4", 3)])
+        frec["n"] = 3
+        frec["idx"] = faces
+        f.write(frec.tobytes())
+    return int(vertices.shape[0])
+
+
 def read_ply_counts(path: str):
     """Parse a PLY header → (n_vertices, n_faces) for sanity checks."""
     nv = nf = 0

@@ -370,6 +370,27 @@ class CoxgraphServer:
             export.write_ply(ply_path, verts, cols)
         return merged, verts, cols
 
+    def get_final_global_mesh_postprocessed(
+            self, ply_path: Optional[str] = None, min_weight: float = 0.1,
+            mesh_spec: Optional[vx.VoxelGridSpec] = None,
+            taubin_iterations: int = 100):
+        """get_final_global_mesh + the reference's Open3D cleanup chain
+        (merge-close-vertices → dedup → Taubin smooth → vertex-cluster
+        simplify, server_visualizer.cpp:80-84) → ops.mesh_post.IndexedMesh,
+        exported as an indexed PLY."""
+        from ..ops import mesh_post
+        spec = mesh_spec or self.cfg.spec
+        _, verts, cols = self.get_final_global_mesh(
+            None, min_weight=min_weight, mesh_spec=mesh_spec)
+        clean = mesh_post.postprocess(
+            verts, cols, merge_radius=1.2 * spec.voxel_size,
+            taubin_iterations=taubin_iterations,
+            simplify_voxel=spec.voxel_size)
+        if ply_path:
+            export.write_ply_indexed(ply_path, clean.vertices, clean.faces,
+                                     clean.colors)
+        return clean
+
     def pose_history(self, client_id: int):
         """Global-frame trajectory of one client from its submap histories
         (PoseHistorySrv / savePoseHistoryToFile equivalent)."""

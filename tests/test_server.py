@@ -112,6 +112,23 @@ def test_global_mesh_covers_union(world, tmp_path):
     assert np.median(err) < 0.12
 
 
+def test_global_mesh_postprocessed(world, tmp_path):
+    scene, trajs, X, clients = world
+    server = make_server(list(clients))
+    server.map_fusion(true_fusion_msg(trajs, 3, 3))
+    p = str(tmp_path / "clean.ply")
+    clean = server.get_final_global_mesh_postprocessed(
+        p, taubin_iterations=20)
+    _, raw_verts, _ = server.get_final_global_mesh()
+    # indexed, simplified, still on-surface
+    assert 0 < clean.n_vertices < raw_verts.reshape(-1, 3).shape[0]
+    assert clean.n_faces > 0
+    sdf = np.asarray(syn.scene_sdf(scene, jnp.asarray(clean.vertices)))
+    assert np.quantile(np.abs(sdf), 0.9) < 3.0 * SPEC.voxel_size
+    from coxgraph_tpu.eval.export import read_ply_counts
+    assert read_ply_counts(p) == (clean.n_vertices, clean.n_faces)
+
+
 def test_same_client_fusion_becomes_loop_closure(world):
     scene, trajs, X, clients = world
     server = make_server(list(clients))
