@@ -142,6 +142,97 @@ def voxel_centers_of_block(spec: VoxelGridSpec, b: Array) -> Array:
 # ---------------------------------------------------------------------------
 
 
+def allocate_core(spec: VoxelGridSpec, flat_index: Array,
+                  block_coords: Array, num_blocks: Array,
+                  grid_slots: Array, valid: Array):
+    """Allocation on the SMALL layer arrays only (no voxel pools touched):
+    flat_index (G³,), block_coords (mb,3), num_blocks () + candidate grid
+    slots (N,) with validity mask → updated (flat_index, block_coords,
+    num_blocks). Shared by the per-layer and stacked-pool paths."""
+    g3 = spec.grid_dim ** 3
+
+    # 1 where some valid candidate touches this grid cell (invalid candidates
+    # are redirected out of range and dropped by the scatter).
+    touched = jnp.zeros((g3,), dtype=jnp.bool_)
+    touched = touched.at[jnp.where(valid, grid_slots, g3)].set(
+        True, mode="drop")
+
+    is_new = touched & (flat_index < 0)
+
+    # Assign consecutive pool slots to new blocks.
+    order = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # rank among new blocks
+    slot_id = num_blocks + order
+    can_alloc = is_new & (slot_id < spec.max_blocks)
+    new_flat = jnp.where(can_alloc, slot_id, flat_index)
+    n_new = jnp.minimum(
+        jnp.sum(is_new.astype(jnp.int32)),
+        spec.max_blocks - num_blocks,
+    )
+
+    # Record block coords for newly-assigned pool slots.
+    cell = jnp.arange(g3, dtype=jnp.int32)
+    cz = cell % spec.grid_dim
+    cy = (cell // spec.grid_dim) % spec.grid_dim
+    cx = cell // (spec.grid_dim * spec.grid_dim)
+    coords_of_cell = jnp.stack([cx, cy, cz], axis=-1) - spec.half_grid
+    pool_target = jnp.where(can_alloc, slot_id, spec.max_blocks)  # drop others
+    block_coords_new = block_coords.at[pool_target].set(
+        coords_of_cell, mode="drop"
+    )
+    return new_flat, block_coords_new, num_blocks + n_new, touched
+
+
+def allocate_and_slots(spec: VoxelGridSpec, flat_index: Array,
+                       block_coords: Array, num_blocks: Array,
+                       grid_slots: Array, valid: Array, max_touched: int):
+    """Fused allocation + touched-slot compaction over the block grid.
+
+    One pass: scatter the candidate bitmap, then a SINGLE G³ prefix sum
+    ranks both the newly-allocated cells (high 16 bits) and all touched
+    cells (low 16 bits) — both counts are bounded by max_blocks ≪ 2¹⁶.
+    Deriving the touched set from the allocation bitmap (instead of
+    re-looking up the raw candidates like the old touched_block_slots)
+    avoids a million-point gather whose duplicate-heavy addresses
+    serialize the TPU gather unit.
+    Returns (flat_index, block_coords, num_blocks, slots (K,), mask (K,))."""
+    g3 = spec.grid_dim ** 3
+    touched = jnp.zeros((g3,), dtype=jnp.bool_)
+    touched = touched.at[jnp.where(valid, grid_slots, g3)].set(
+        True, mode="drop")
+    is_new = touched & (flat_index < 0)
+
+    packed = jnp.cumsum(is_new.astype(jnp.int32) * 65536
+                        + touched.astype(jnp.int32))
+    rank_new = (packed >> 16) - 1          # rank among new cells
+    rank_touch = (packed & 0xFFFF) - 1     # rank among touched cells
+
+    # allocation (allocate_core semantics)
+    slot_id = num_blocks + rank_new
+    can_alloc = is_new & (slot_id < spec.max_blocks)
+    new_flat = jnp.where(can_alloc, slot_id, flat_index)
+    n_new = jnp.minimum((packed[-1] >> 16),
+                        spec.max_blocks - num_blocks)
+    cell = jnp.arange(g3, dtype=jnp.int32)
+    cz = cell % spec.grid_dim
+    cy = (cell // spec.grid_dim) % spec.grid_dim
+    cx = cell // (spec.grid_dim * spec.grid_dim)
+    coords_of_cell = jnp.stack([cx, cy, cz], axis=-1) - spec.half_grid
+    pool_target = jnp.where(can_alloc, slot_id, spec.max_blocks)
+    block_coords = block_coords.at[pool_target].set(coords_of_cell,
+                                                    mode="drop")
+    num_blocks = num_blocks + n_new
+
+    # touched-slot compaction (live = touched cells with a pool slot; a
+    # touched cell can lack one only when the pool overflowed)
+    live = touched & (new_flat >= 0)
+    tgt = jnp.where(live & (rank_touch < max_touched), rank_touch,
+                    max_touched)
+    slots = jnp.full((max_touched,), spec.max_blocks, jnp.int32)
+    slots = slots.at[tgt].set(new_flat, mode="drop")
+    mask = slots < spec.max_blocks
+    return new_flat, block_coords, num_blocks, slots, mask
+
+
 @partial(jax.jit, static_argnums=0)
 def allocate_blocks(spec: VoxelGridSpec, layer: TsdfLayer, block_coords: Array,
                     mask: Optional[Array] = None) -> TsdfLayer:
@@ -157,41 +248,14 @@ def allocate_blocks(spec: VoxelGridSpec, layer: TsdfLayer, block_coords: Array,
     valid = block_in_grid(spec, block_coords)
     if mask is not None:
         valid = valid & mask
-
-    # 1 where some valid candidate touches this grid cell (invalid candidates
-    # are redirected out of range and dropped by the scatter).
-    touched = jnp.zeros((g3,), dtype=jnp.bool_)
-    touched = touched.at[jnp.where(valid, slots, g3)].set(True, mode="drop")
-
-    flat_index = layer.block_index.reshape(g3)
-    is_new = touched & (flat_index < 0)
-
-    # Assign consecutive pool slots to new blocks.
-    order = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # rank among new blocks
-    slot_id = layer.num_blocks + order
-    can_alloc = is_new & (slot_id < spec.max_blocks)
-    new_flat = jnp.where(can_alloc, slot_id, flat_index)
-    n_new = jnp.minimum(
-        jnp.sum(is_new.astype(jnp.int32)),
-        spec.max_blocks - layer.num_blocks,
-    )
-
-    # Record block coords for newly-assigned pool slots.
-    cell = jnp.arange(g3, dtype=jnp.int32)
-    cz = cell % spec.grid_dim
-    cy = (cell // spec.grid_dim) % spec.grid_dim
-    cx = cell // (spec.grid_dim * spec.grid_dim)
-    coords_of_cell = jnp.stack([cx, cy, cz], axis=-1) - spec.half_grid
-    pool_target = jnp.where(can_alloc, slot_id, spec.max_blocks)  # drop others
-    block_coords_new = layer.block_coords.at[pool_target].set(
-        coords_of_cell, mode="drop"
-    )
-
+    new_flat, bc_new, nb_new, _ = allocate_core(
+        spec, layer.block_index.reshape(g3), layer.block_coords,
+        layer.num_blocks, slots, valid)
     return dataclasses.replace(
         layer,
         block_index=new_flat.reshape(layer.block_index.shape),
-        block_coords=block_coords_new,
-        num_blocks=layer.num_blocks + n_new,
+        block_coords=bc_new,
+        num_blocks=nb_new,
     )
 
 

@@ -150,21 +150,21 @@ def start_submap(cfg: MapperConfig, state: MapperState, T_odom_cam: Array,
     return dataclasses.replace(state, collection=col, constraints=constraints)
 
 
-@partial(jax.jit, static_argnums=0, donate_argnums=1)
-def integrate(cfg: MapperConfig, state: MapperState, depth: Array,
-              color: Optional[Array], T_odom_cam: Array,
-              t: Array) -> MapperState:
+def integrate_impl(cfg: MapperConfig, state: MapperState, depth: Array,
+                   color: Optional[Array], T_odom_cam: Array,
+                   t: Array) -> MapperState:
     """Integrate one RGB-D frame into the active submap and append to its
-    pose history (reference hot path 3.2)."""
+    pose history (reference hot path 3.2). Uses the stacked-pool
+    integrator — the per-frame cost touches only the updated blocks, not
+    the full submap stack (see integrate_frame_stacked_impl)."""
     col = state.collection
     k = col.active
     T_sm_cam = geo.relative(col.T_odom_submap[k], T_odom_cam)
 
-    layer = _get_layer(col.layers, k)
-    layer = tsdf_ops.integrate_frame(
-        cfg.spec, cfg.integrator, cfg.intrinsics, layer, depth, color, T_sm_cam
+    layers = tsdf_ops.integrate_frame_stacked_impl(
+        cfg.spec, cfg.integrator, cfg.intrinsics, col.layers, k, depth,
+        color, T_sm_cam
     )
-    layers = _set_layer(col.layers, k, layer)
 
     h = jnp.minimum(col.hist_count[k], cfg.max_history - 1)
     col = dataclasses.replace(
@@ -178,6 +178,35 @@ def integrate(cfg: MapperConfig, state: MapperState, depth: Array,
     return dataclasses.replace(
         state, collection=col, frame_count=state.frame_count + 1
     )
+
+
+integrate = partial(jax.jit, static_argnums=0, donate_argnums=1)(
+    integrate_impl)
+integrate.__doc__ = "Jitted integrate_impl."
+
+
+@partial(jax.jit, static_argnums=0, donate_argnums=1)
+def integrate_batch(cfg: MapperConfig, state: MapperState, depths: Array,
+                    colors: Optional[Array], T_odom_cams: Array,
+                    ts: Array) -> MapperState:
+    """Integrate a window of F frames into the CURRENT active submap in a
+    single dispatch (lax.scan over frames). On a remote-attached TPU this
+    amortizes the per-dispatch tunnel round trip across the window; the
+    result is bit-identical to F sequential integrate() calls. Submap
+    rollover must be handled by the caller between windows (HostMapper
+    splits windows at rollover times, which it knows host-side)."""
+    def body(s, frame):
+        if colors is None:
+            d, T, t = frame
+            c = None
+        else:
+            d, c, T, t = frame
+        return integrate_impl(cfg, s, d, c, T, t), None
+
+    xs = ((depths, T_odom_cams, ts) if colors is None
+          else (depths, colors, T_odom_cams, ts))
+    state, _ = jax.lax.scan(body, state, xs)
+    return state
 
 
 def mapper_step(cfg: MapperConfig, state: MapperState, depth: Array,
@@ -225,6 +254,47 @@ class HostMapper:
         self.state = integrate(self.cfg, self.state, depth, color,
                                T_odom_cam, jnp.asarray(t, jnp.float32))
         return started
+
+    def step_batch(self, depths: Array, colors: Optional[Array],
+                   T_odom_cams: Array, ts) -> int:
+        """Process a window of F frames with at most #rollovers+1 device
+        dispatches: rollover boundaries are computed host-side from the
+        timestamps (no device sync), and the frames between boundaries go
+        through one integrate_batch scan each. Bit-identical to F step()
+        calls; amortizes the per-dispatch tunnel round trip. Returns the
+        number of submaps started."""
+        import numpy as np
+
+        ts = np.asarray(ts, np.float32)
+        F = len(ts)
+        starts = []          # frame indices where a rollover fires
+        last = self.last_start
+        n = self.n_submaps
+        for i in range(F):
+            if n == 0 or ts[i] - last >= self.cfg.submap_interval - 1e-6:
+                starts.append(i)
+                last = float(ts[i])
+                n = min(n + 1, self.cfg.max_submaps)
+        segments = []        # (rollover frame or None, lo, hi)
+        if not starts or starts[0] > 0:
+            segments.append((None, 0, starts[0] if starts else F))
+        bounds = starts + [F]
+        for b, e in zip(bounds[:-1], bounds[1:]):
+            segments.append((b, b, e))
+        for start_i, lo, hi in segments:
+            if start_i is not None:
+                self.state = start_submap(
+                    self.cfg, self.state, T_odom_cams[start_i],
+                    jnp.asarray(float(ts[start_i]), jnp.float32))
+                self.n_submaps = min(self.n_submaps + 1,
+                                     self.cfg.max_submaps)
+                self.last_start = float(ts[start_i])
+            if hi > lo:
+                self.state = integrate_batch(
+                    self.cfg, self.state, depths[lo:hi],
+                    None if colors is None else colors[lo:hi],
+                    T_odom_cams[lo:hi], jnp.asarray(ts[lo:hi]))
+        return len(starts)
 
 
 def optimize_local(cfg: MapperConfig, state: MapperState,

@@ -6,16 +6,23 @@ TPU-first design: instead of per-ray CPU ray-casting with OpenMP threads
 (integrator_threads: 8), each frame is integrated in two dense passes
 inside one jit:
 
-  1. **Allocation** — backproject every pixel at a few depths spanning the
-     truncation band, scatter the touched block coordinates into the dense
-     block-index grid (core.voxel.allocate_blocks), and collect the touched
-     pool slots with a fixed-capacity top_k.
+  1. **Allocation** — backproject a (strided) pixel grid at a few depths
+     spanning the truncation band, scatter the touched block coordinates
+     into the dense block-index grid, and compact the touched pool slots
+     straight out of the allocation bitmap (no re-lookup of the raw
+     candidates — their duplicate-heavy addresses serialize the TPU
+     gather unit).
   2. **Update** — for the ≤ max_touched_blocks touched blocks, project all
-     16³ voxel centers into the frame at once ((T·4096, ) lane-parallel on
-     the VPU), gather depths, and apply the weighted running-average TSDF
-     update as a pure scatter back into the pool.
+     16³ voxel centers into the frame at once (lane-parallel on the VPU),
+     gather depths, and apply the weighted running-average TSDF update as
+     a row scatter back into the pool.
 
-Everything is fixed-shape; invalid pixels/blocks ride along masked.
+The canonical implementation is `integrate_frame_stacked_impl`, which
+operates on a stacked submap collection (leading (S,) axis on every leaf)
+through a flat (S·max_blocks) pool view so no per-submap copy of the voxel
+pools is ever materialized. The single-layer `integrate_frame` wraps it
+with S = 1. Everything is fixed-shape; invalid pixels/blocks ride along
+masked.
 """
 
 from __future__ import annotations
@@ -44,8 +51,18 @@ class TsdfIntegratorConfig:
     max_weight: float = 1.0e4
     max_touched_blocks: int = 2048
     alloc_band_samples: int = 3     # depth samples across the trunc band
+    alloc_stride: int = 2           # pixel stride of the allocation pass
+    #  (a block spans ≥16 voxels ≈ many pixels; stride-2 sampling cannot
+    #   miss one and cuts the allocation pass 4x — the voxblox "fast"
+    #   integrator makes the same trade with subsampled rays)
     use_dropoff: bool = True        # linear weight drop-off behind surface
     use_distance_weight: bool = True  # 1/z² observation weighting
+    update_chunk_blocks: int = 512  # blocks per update dispatch
+    use_pallas: Optional[bool] = None  # None = auto (TPU backend only).
+    #  The Pallas kernel replaces the per-voxel depth gather with one-hot
+    #  MXU contractions on a stride-pyramid tile (ops/pallas_tsdf.py);
+    #  blocks whose pixel bbox exceeds the 64² tile sample depth at
+    #  stride 2^l — the voxblox "fast" integrator's subsampled-ray trade.
 
 
 def _backproject(intr: PinholeIntrinsics, depth: Array) -> Array:
@@ -64,117 +81,278 @@ def touched_block_slots(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
     """Dedupe candidate block coords → (slots (K,), mask (K,)) pool slots.
 
     Fixed capacity K = max_touched; extra blocks (beyond capacity) are
-    dropped for this frame and picked up on later frames."""
+    dropped for this call and picked up on later calls. (Used by the
+    transform-merge op; the frame integrator compacts its touched set
+    straight out of the allocation bitmap instead.)"""
     max_touched = min(max_touched, layer.max_blocks)
     idx = vx.lookup_block(spec, layer, block_coords)
     ok = valid & (idx >= 0)
     touched = jnp.zeros((layer.max_blocks,), dtype=jnp.bool_)
-    touched = touched.at[jnp.where(ok, idx, layer.max_blocks)].set(True, mode="drop")
-    # top_k over scores: touched slots get score 1, others 0
-    score = touched.astype(jnp.float32)
-    _, slots = jax.lax.top_k(score, max_touched)
-    mask = touched[slots]
+    touched = touched.at[jnp.where(ok, idx, layer.max_blocks)].set(
+        True, mode="drop")
+    pos = jnp.cumsum(touched.astype(jnp.int32)) - 1
+    tgt = jnp.where(touched & (pos < max_touched), pos, max_touched)
+    slots = jnp.full((max_touched,), layer.max_blocks, jnp.int32)
+    slots = slots.at[tgt].set(jnp.arange(layer.max_blocks, dtype=jnp.int32),
+                              mode="drop")
+    mask = slots < layer.max_blocks
+    slots = jnp.minimum(slots, layer.max_blocks - 1)
     return slots, mask
+
+
+def integrate_frame_stacked_impl(spec: vx.VoxelGridSpec,
+                                 cfg: TsdfIntegratorConfig,
+                                 intr: PinholeIntrinsics,
+                                 layers: vx.TsdfLayer, k: Array,
+                                 depth: Array, color: Optional[Array],
+                                 T_sm_cam: Array) -> vx.TsdfLayer:
+    """integrate one RGB-D frame into submap ``k`` of a STACKED collection
+    (every TsdfLayer leaf carries a leading (S,) submap axis) without ever
+    materializing a per-submap copy of the voxel pools.
+
+    The naive route — dynamic-index submap k out, integrate, write it
+    back — copies the full (max_blocks, v³) sdf/weight/color pools twice
+    per frame (~1 GB of HBM traffic at reference scale). Here the big
+    pools are addressed through a flat (S·max_blocks) view with base
+    offset k·max_blocks: every access stays a gather/scatter of just the
+    touched blocks. Only the SMALL per-submap arrays (block_index 1 MB,
+    block_coords, num_blocks) are sliced out and written back.
+
+    depth: (H,W) z-depth (0 = invalid); color: (H,W,3) in [0,1] or None;
+    T_sm_cam: (7,) camera pose in the submap frame; k: () int32.
+    """
+    S = layers.sdf.shape[0]
+    mb = spec.max_blocks
+    g3 = spec.grid_dim ** 3
+    v = spec.voxels_per_side
+    base = k * mb
+
+    # ---- pass 1: allocation (small arrays only) ---------------------------
+    st = cfg.alloc_stride
+    d_s = depth[::st, ::st]
+    valid_s = (d_s > cfg.min_range) & (d_s < cfg.max_range)
+    ks = jnp.linspace(-spec.truncation, spec.truncation,
+                      cfg.alloc_band_samples)
+    d_samples = d_s[None, ...] + ks[:, None, None]            # (B,h,w)
+    dirs = _backproject(intr, jnp.ones_like(depth))[::st, ::st]
+    pts_cam = dirs[None, ...] * d_samples[..., None]          # (B,h,w,3)
+    pts_sm = geo.transform_points(T_sm_cam, pts_cam)
+    cand_blocks, _ = vx.voxel_to_block(spec, vx.point_to_voxel(spec, pts_sm))
+    cand_blocks = cand_blocks.reshape(-1, 3)
+    cand_valid = (jnp.broadcast_to(valid_s[None], d_samples.shape)
+                  & (d_samples > cfg.min_range)).reshape(-1)
+    grid_slots = vx.block_grid_slot(spec, cand_blocks)
+    cand_valid = cand_valid & vx.block_in_grid(spec, cand_blocks)
+
+    K = min(cfg.max_touched_blocks, mb)
+    bi_k, bc_k, nb_k, slots, slot_mask = vx.allocate_and_slots(
+        spec, layers.block_index[k].reshape(g3), layers.block_coords[k],
+        layers.num_blocks[k], grid_slots, cand_valid, K)
+    layers = dataclasses.replace(
+        layers,
+        block_index=layers.block_index.at[k].set(
+            bi_k.reshape(layers.block_index.shape[1:])),
+        block_coords=layers.block_coords.at[k].set(bc_k),
+        num_blocks=layers.num_blocks.at[k].set(nb_k),
+    )
+    slots = jnp.minimum(slots, mb - 1)  # safe gather addresses (masked)
+
+    # ---- pass 2: voxel update ---------------------------------------------
+    T_cam_sm = geo.inverse(T_sm_cam)
+    use_pallas = cfg.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        return _update_pallas(spec, cfg, intr, layers, base, bc_k, slots,
+                              slot_mask, depth, color, T_cam_sm)
+    return _update_xla(spec, cfg, intr, layers, base, bc_k, slots,
+                       slot_mask, depth, color, T_cam_sm)
+
+
+def _update_pallas(spec, cfg, intr, layers, base, bc_k, slots, slot_mask,
+                   depth, color, T_cam_sm):
+    """Voxel update via the Pallas block kernel (ops/pallas_tsdf.py):
+    gather the touched pool rows, run the kernel, scatter rows back."""
+    from . import pallas_tsdf
+
+    S = layers.sdf.shape[0]
+    mb = spec.max_blocks
+    v3 = spec.voxels_per_side ** 3
+    K = slots.shape[0]
+    pad = (-K) % pallas_tsdf.GROUP
+    if pad:
+        slots = jnp.pad(slots, (0, pad))
+        slot_mask = jnp.pad(slot_mask, (0, pad))
+        K += pad
+
+    atlas_d, atlas_c = pallas_tsdf.build_atlases(intr, depth, color)
+    R = geo.quat_to_matrix(T_cam_sm[:4])
+    params = jnp.concatenate([
+        R.reshape(9), T_cam_sm[4:7],
+        jnp.asarray([intr.fx, intr.fy, intr.cx, intr.cy], jnp.float32)])
+
+    sdf_pool = layers.sdf.reshape(S * mb, v3)
+    w_pool = layers.weight.reshape(S * mb, v3)
+    c_pool = layers.color.reshape(S * mb, v3 * 3)
+    rows = jnp.minimum(base + slots, S * mb - 1)
+    old_sdf = sdf_pool[rows]                               # (K, v³)
+    old_w = w_pool[rows]
+    old_c = c_pool[rows].reshape(K, v3, 3)
+    old_c_planar = jnp.swapaxes(old_c, 1, 2).reshape(K, 3 * v3)
+    coords = bc_k[slots]
+
+    tiles = pallas_tsdf.compute_tile_specs(spec, cfg, intr, coords,
+                                           slot_mask, params)
+    new_sdf, new_w, new_c_planar = pallas_tsdf.tsdf_update_blocks(
+        spec, cfg, intr, coords, tiles, params, atlas_d, atlas_c,
+        old_sdf, old_w, old_c_planar)
+
+    new_c = jnp.swapaxes(new_c_planar.reshape(K, 3, v3), 1, 2).reshape(
+        K, v3 * 3)
+    tgt = jnp.where(slot_mask, base + slots, S * mb)
+    sdf_out = sdf_pool.at[tgt].set(new_sdf, mode="drop")
+    w_out = w_pool.at[tgt].set(new_w, mode="drop")
+    c_out = c_pool.at[tgt].set(new_c, mode="drop")
+    return dataclasses.replace(
+        layers,
+        sdf=sdf_out.reshape(layers.sdf.shape),
+        weight=w_out.reshape(layers.weight.shape),
+        color=c_out.reshape(layers.color.shape),
+    )
+
+
+def _update_xla(spec, cfg, intr, layers, base, bc_k, slots, slot_mask,
+                depth, color, T_cam_sm):
+    """Voxel update as pure XLA (CPU fallback + cross-check path)."""
+    S = layers.sdf.shape[0]
+    mb = spec.max_blocks
+    v = spec.voxels_per_side
+    K = slots.shape[0]
+    depth_flat = depth.reshape(-1)
+    color_flat = None if color is None else color.reshape(-1, 3)
+    tau = spec.truncation
+    npix = intr.height * intr.width
+    # pools ride the scan FLAT (N, v³): a (..., 16, 16) carry would pad
+    # 16 lanes → 128 in XLA's (8,128) tiling (8x HBM blow-up, OOM)
+    v3 = v ** 3
+    sdf_pool0 = layers.sdf.reshape(S * mb, v3)
+    w_pool0 = layers.weight.reshape(S * mb, v3)
+    c_pool0 = layers.color.reshape(S * mb, v3 * 3)
+
+    def update_chunk(carry, chunk):
+        sdf_pool, w_pool, c_pool = carry
+        c_slots, c_mask = chunk
+        flat_slots = jnp.where(c_mask, base + c_slots, S * mb)
+        coords = bc_k[c_slots]                                 # (C,3)
+        centers = vx.voxel_centers_of_block(spec, coords)
+        p_cam = geo.transform_points(T_cam_sm, centers)
+        z = p_cam[..., 2]
+        u = p_cam[..., 0] / jnp.maximum(z, 1e-6) * intr.fx + intr.cx
+        vv = p_cam[..., 1] / jnp.maximum(z, 1e-6) * intr.fy + intr.cy
+        ui = jnp.round(u).astype(jnp.int32)
+        vi = jnp.round(vv).astype(jnp.int32)
+        in_img = (
+            (z > cfg.min_range)
+            & (ui >= 0) & (ui < intr.width)
+            & (vi >= 0) & (vi < intr.height)
+        )
+        # spread dummy addresses for masked voxels (duplicate-address
+        # gathers serialize the vector gather unit)
+        lin = (vi * intr.width + ui).reshape(-1)
+        spread = jax.lax.broadcasted_iota(
+            jnp.int32, (lin.shape[0], 1), 0).squeeze(-1) % npix
+        lin = jnp.where(in_img.reshape(-1), lin, spread)
+        d = depth_flat[lin].reshape(in_img.shape)
+        has_depth = in_img & (d > cfg.min_range) & (d < cfg.max_range)
+
+        sdf = d - z
+        observed = has_depth & (sdf > -tau)
+        w_obs = jnp.ones_like(sdf)
+        if cfg.use_distance_weight:
+            w_obs = w_obs / jnp.maximum(d * d, 1.0)
+        if cfg.use_dropoff:
+            # 1 in front of surface, linearly → 0 from -τ/2 to -τ behind
+            dropoff = jnp.clip((sdf + tau) / (0.5 * tau), 0.0, 1.0)
+            w_obs = w_obs * dropoff
+        w_obs = jnp.where(observed & c_mask[:, None, None, None], w_obs, 0.0)
+        sdf_obs = jnp.clip(sdf, -tau, tau)
+
+        vshape = in_img.shape                   # (C, v, v, v)
+        C = vshape[0]
+        safe = jnp.minimum(flat_slots, S * mb - 1)
+        old_sdf = sdf_pool[safe].reshape(vshape)
+        old_w = w_pool[safe].reshape(vshape)
+        new_w = jnp.minimum(old_w + w_obs, cfg.max_weight)
+        new_sdf = jnp.where(
+            new_w > 0,
+            (old_w * old_sdf + w_obs * sdf_obs) / jnp.maximum(new_w, 1e-9),
+            old_sdf,
+        )
+        sdf_pool = sdf_pool.at[flat_slots].set(new_sdf.reshape(C, -1),
+                                               mode="drop")
+        w_pool = w_pool.at[flat_slots].set(new_w.reshape(C, -1),
+                                           mode="drop")
+
+        if color_flat is not None:
+            c_img = color_flat[lin].reshape(vshape + (3,))
+            near_surface = w_obs * (jnp.abs(sdf) < tau)
+            old_c = c_pool[safe].reshape(vshape + (3,))
+            new_c = jnp.where(
+                (new_w > 0)[..., None],
+                (old_w[..., None] * old_c + near_surface[..., None] * c_img)
+                / jnp.maximum(new_w, 1e-9)[..., None],
+                old_c,
+            )
+            c_pool = c_pool.at[flat_slots].set(new_c.reshape(C, -1),
+                                               mode="drop")
+        return (sdf_pool, w_pool, c_pool), None
+
+    chunk = min(cfg.update_chunk_blocks, K)
+    n_chunks = -(-K // chunk)
+    if n_chunks == 1:
+        # no scan: a length-1 scan still copies the (large) pool carries
+        (sdf_out, w_out, c_out), _ = update_chunk(
+            (sdf_pool0, w_pool0, c_pool0), (slots, slot_mask))
+    else:
+        pad = n_chunks * chunk - K
+        # pad masks OFF (padded slots would race duplicate writes)
+        slots_p = jnp.pad(slots, (0, pad)).reshape(n_chunks, chunk)
+        mask_p = jnp.pad(slot_mask, (0, pad)).reshape(n_chunks, chunk)
+        (sdf_out, w_out, c_out), _ = jax.lax.scan(
+            update_chunk, (sdf_pool0, w_pool0, c_pool0), (slots_p, mask_p))
+
+    return dataclasses.replace(
+        layers,
+        sdf=sdf_out.reshape(layers.sdf.shape),
+        weight=w_out.reshape(layers.weight.shape),
+        color=c_out.reshape(layers.color.shape),
+    )
+
+
+integrate_frame_stacked = partial(jax.jit, static_argnums=(0, 1, 2),
+                                  donate_argnums=3)(
+    integrate_frame_stacked_impl
+)
+integrate_frame_stacked.__doc__ = "Jitted integrate_frame_stacked_impl."
 
 
 def integrate_frame_impl(spec: vx.VoxelGridSpec, cfg: TsdfIntegratorConfig,
                          intr: PinholeIntrinsics, layer: vx.TsdfLayer,
                          depth: Array, color: Optional[Array],
                          T_sm_cam: Array) -> vx.TsdfLayer:
-    """Unjitted integrate_frame body (for vmap/shard_map composition).
+    """Unjitted single-layer integrate (S = 1 view of the stacked impl;
+    for vmap/shard_map composition).
 
     depth: (H,W) z-depth (0 = invalid); color: (H,W,3) in [0,1] or None;
     T_sm_cam: (7,) camera pose in the layer (submap) frame.
     """
-    valid_px = (depth > cfg.min_range) & (depth < cfg.max_range)
-
-    # ---- pass 1: allocation ---------------------------------------------
-    # sample depths across the truncation band: d + k, k ∈ [-τ, τ]
-    ks = jnp.linspace(-spec.truncation, spec.truncation,
-                      cfg.alloc_band_samples)
-    d_samples = depth[None, ...] + ks[:, None, None]          # (S,H,W)
-    pts_cam = _backproject(
-        intr, jnp.ones_like(depth)
-    )  # unit-z dirs scaled below
-    pts_cam = pts_cam[None, ...] * d_samples[..., None]       # (S,H,W,3)
-    pts_sm = geo.transform_points(T_sm_cam, pts_cam)
-    cand_blocks, _ = vx.voxel_to_block(spec, vx.point_to_voxel(spec, pts_sm))
-    cand_valid = jnp.broadcast_to(valid_px[None], d_samples.shape) & (
-        d_samples > cfg.min_range
-    )
-    layer = vx.allocate_blocks(
-        spec, layer,
-        cand_blocks.reshape(-1, 3), cand_valid.reshape(-1),
-    )
-
-    # ---- pass 2: voxel update -------------------------------------------
-    slots, slot_mask = touched_block_slots(
-        spec, layer, cand_blocks.reshape(-1, 3), cand_valid.reshape(-1),
-        cfg.max_touched_blocks,
-    )
-    coords = layer.block_coords[slots]                         # (K,3)
-    centers = vx.voxel_centers_of_block(spec, coords)          # (K,v,v,v,3)
-    T_cam_sm = geo.inverse(T_sm_cam)
-    p_cam = geo.transform_points(T_cam_sm, centers)            # (K,v,v,v,3)
-    z = p_cam[..., 2]
-    u = p_cam[..., 0] / jnp.maximum(z, 1e-6) * intr.fx + intr.cx
-    v = p_cam[..., 1] / jnp.maximum(z, 1e-6) * intr.fy + intr.cy
-    ui = jnp.round(u).astype(jnp.int32)
-    vi = jnp.round(v).astype(jnp.int32)
-    in_img = (
-        (z > cfg.min_range)
-        & (ui >= 0) & (ui < intr.width)
-        & (vi >= 0) & (vi < intr.height)
-    )
-    uis = jnp.clip(ui, 0, intr.width - 1)
-    vis = jnp.clip(vi, 0, intr.height - 1)
-    d = depth[vis, uis]                                        # (K,v,v,v)
-    has_depth = (d > cfg.min_range) & (d < cfg.max_range)
-
-    sdf = d - z
-    tau = spec.truncation
-    observed = in_img & has_depth & (sdf > -tau)
-    # observation weight: 1/z² beyond 1 m (voxblox use_const_weight=false
-    # default), with linear drop-off behind the surface
-    w_obs = jnp.ones_like(sdf)
-    if cfg.use_distance_weight:
-        w_obs = w_obs / jnp.maximum(d * d, 1.0)
-    if cfg.use_dropoff:
-        # 1 in front of surface, linearly → 0 from -τ/2 to -τ behind
-        dropoff = jnp.clip((sdf + tau) / (0.5 * tau), 0.0, 1.0)
-        w_obs = w_obs * dropoff
-    w_obs = jnp.where(observed & slot_mask[:, None, None, None], w_obs, 0.0)
-    sdf_obs = jnp.clip(sdf, -tau, tau)
-
-    old_sdf = layer.sdf[slots]
-    old_w = layer.weight[slots]
-    new_w = jnp.minimum(old_w + w_obs, cfg.max_weight)
-    new_sdf = jnp.where(
-        new_w > 0, (old_w * old_sdf + w_obs * sdf_obs) / jnp.maximum(new_w, 1e-9),
-        old_sdf,
-    )
-    sdf_out = layer.sdf.at[slots].set(new_sdf, mode="drop")
-    w_out = layer.weight.at[slots].set(new_w, mode="drop")
-
-    color_out = layer.color
-    if color is not None:
-        c = color[vis, uis]                                    # (K,v,v,v,3)
-        near_surface = w_obs * (jnp.abs(sdf) < tau)
-        old_c = layer.color[slots]
-        new_c = jnp.where(
-            (new_w > 0)[..., None],
-            (old_w[..., None] * old_c + (near_surface)[..., None] * c)
-            / jnp.maximum(new_w, 1e-9)[..., None],
-            old_c,
-        )
-        color_out = layer.color.at[slots].set(new_c, mode="drop")
-
-    return dataclasses.replace(
-        layer, sdf=sdf_out, weight=w_out, color=color_out
-    )
+    stacked = jax.tree.map(lambda x: x[None], layer)
+    out = integrate_frame_stacked_impl(
+        spec, cfg, intr, stacked, jnp.zeros((), jnp.int32), depth, color,
+        T_sm_cam)
+    return jax.tree.map(lambda x: x[0], out)
 
 
 integrate_frame = partial(jax.jit, static_argnums=(0, 1, 2))(
-    integrate_frame_impl
-)
+    integrate_frame_impl)
 integrate_frame.__doc__ = "Jitted integrate_frame_impl."

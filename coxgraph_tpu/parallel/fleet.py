@@ -63,26 +63,8 @@ def robot_state(fleet: sm.MapperState, r: int) -> sm.MapperState:
 
 def _integrate_one(cfg: sm.MapperConfig, state: sm.MapperState, depth, color,
                    T_odom_cam, t) -> sm.MapperState:
-    """Single-robot integrate body (shared with mapper.integrate)."""
-    col = state.collection
-    k = col.active
-    T_sm_cam = geo.relative(col.T_odom_submap[k], T_odom_cam)
-    layer = sm._get_layer(col.layers, k)
-    layer = tsdf_ops.integrate_frame_impl(
-        cfg.spec, cfg.integrator, cfg.intrinsics, layer, depth, color,
-        T_sm_cam)
-    layers = sm._set_layer(col.layers, k, layer)
-    h = jnp.minimum(col.hist_count[k], cfg.max_history - 1)
-    col = dataclasses.replace(
-        col,
-        layers=layers,
-        end_time=col.end_time.at[k].set(t, mode="drop"),
-        hist_stamps=col.hist_stamps.at[k, h].set(t, mode="drop"),
-        hist_poses=col.hist_poses.at[k, h].set(T_sm_cam, mode="drop"),
-        hist_count=col.hist_count.at[k].set(h + 1, mode="drop"),
-    )
-    return dataclasses.replace(
-        state, collection=col, frame_count=state.frame_count + 1)
+    """Single-robot integrate body (the mapper's stacked-pool impl)."""
+    return sm.integrate_impl(cfg, state, depth, color, T_odom_cam, t)
 
 
 def _start_one(cfg: sm.MapperConfig, state: sm.MapperState, T_odom_cam,

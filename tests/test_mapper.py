@@ -144,3 +144,91 @@ def test_local_pgo_fixes_drift():
         geo.translation(state.collection.T_odom_submap[ns - 1]) -
         geo.translation(T_true[ns - 1])))
     assert drift1 < drift0 * 0.5 + 1e-3
+
+
+def test_stacked_integration_matches_single_layer():
+    """The flat-pool stacked integrator (hot path) must produce exactly
+    the same voxel state as integrate_frame on an extracted layer."""
+    scene = syn.default_scene()
+    traj = syn.orbit_trajectory(4, scene.room_center, radius=2.5)
+    state = sm.create_mapper(CFG)
+    ref_layers = {}
+    for i in range(4):
+        depth, color = syn.render_depth(scene, CFG.intrinsics, traj[i])
+        state, started = sm.mapper_step(CFG, state, depth, color, traj[i],
+                                        i * 0.1)
+        k = int(state.collection.num_submaps) - 1
+        if started:
+            ref_layers[k] = vx.create_tsdf_layer(SPEC)
+        T_sm_cam = geo.relative(state.collection.T_odom_submap[k], traj[i])
+        ref_layers[k] = tsdf_ops.integrate_frame(
+            SPEC, CFG.integrator, CFG.intrinsics, ref_layers[k], depth,
+            color, T_sm_cam)
+    col = state.collection
+    for k, ref in ref_layers.items():
+        got = sm._get_layer(col.layers, jnp.asarray(k))
+        assert int(got.num_blocks) == int(ref.num_blocks)
+        n = int(ref.num_blocks)
+        np.testing.assert_array_equal(np.asarray(got.block_coords)[:n],
+                                      np.asarray(ref.block_coords)[:n])
+        np.testing.assert_allclose(np.asarray(got.sdf)[:n],
+                                   np.asarray(ref.sdf)[:n], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got.weight)[:n],
+                                   np.asarray(ref.weight)[:n], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got.color)[:n],
+                                   np.asarray(ref.color)[:n], atol=1e-5)
+
+
+def test_integrate_batch_matches_sequential():
+    """integrate_batch (one-dispatch frame window) ≡ sequential steps."""
+    scene = syn.default_scene()
+    traj = syn.orbit_trajectory(5, scene.room_center, radius=2.5)
+    frames = [syn.render_depth(scene, CFG.intrinsics, traj[i])
+              for i in range(5)]
+    ts = np.arange(5, dtype=np.float32) * 0.05  # all inside one submap
+
+    seq = sm.create_mapper(CFG)
+    seq = sm.start_submap(CFG, seq, traj[0], jnp.asarray(0.0))
+    for i in range(5):
+        seq = sm.integrate(CFG, seq, frames[i][0], frames[i][1], traj[i],
+                           jnp.asarray(ts[i]))
+
+    bat = sm.create_mapper(CFG)
+    bat = sm.start_submap(CFG, bat, traj[0], jnp.asarray(0.0))
+    bat = sm.integrate_batch(CFG, bat, jnp.stack([f[0] for f in frames]),
+                             jnp.stack([f[1] for f in frames]),
+                             jnp.stack(list(traj)), jnp.asarray(ts))
+
+    for name in ("sdf", "weight", "color"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(bat.collection.layers, name)),
+            np.asarray(getattr(seq.collection.layers, name)), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(bat.collection.hist_count),
+                                  np.asarray(seq.collection.hist_count))
+    assert int(bat.frame_count) == int(seq.frame_count)
+
+
+def test_host_mapper_step_batch_matches_steps():
+    """HostMapper.step_batch ≡ per-frame HostMapper.step across rollovers."""
+    scene = syn.default_scene()
+    n = 8
+    traj = syn.orbit_trajectory(n, scene.room_center, radius=2.5)
+    frames = [syn.render_depth(scene, CFG.intrinsics, traj[i])
+              for i in range(n)]
+    ts = np.arange(n, dtype=np.float32) * 0.1  # rollover every 3 frames
+
+    a = sm.HostMapper(CFG)
+    starts_a = sum(a.step(frames[i][0], frames[i][1], traj[i], float(ts[i]))
+                   for i in range(n))
+    b = sm.HostMapper(CFG)
+    starts_b = b.step_batch(jnp.stack([f[0] for f in frames]),
+                            jnp.stack([f[1] for f in frames]),
+                            jnp.stack(list(traj)), ts)
+    assert starts_a == starts_b
+    assert a.n_submaps == b.n_submaps
+    np.testing.assert_allclose(
+        np.asarray(b.state.collection.layers.sdf),
+        np.asarray(a.state.collection.layers.sdf), atol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(b.state.collection.hist_count),
+        np.asarray(a.state.collection.hist_count))
