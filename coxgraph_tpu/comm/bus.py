@@ -1,0 +1,277 @@
+"""Python face of the native message bus (native/bus.cpp) + the remote
+client transport built on it.
+
+This is the framework's ROS substrate equivalent (SURVEY.md §5.8): the
+reference wires clients to the server with TCPROS topics (time_line,
+map_pose_updates, loop closures) and services (get_client_submap /
+get_all_submaps, coxgraph_client.cpp:38-45); here the same roles run over
+a single C++ broker with latched pub/sub + request/reply. The server-side
+``RemoteClient`` implements the exact interface of
+server.client_interface.InProcessClient, so CoxgraphServer code is
+identical for in-process and remote robots; the robot side runs a
+``ClientService`` pump next to its mapper loop.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import pickle
+import struct
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import voxel as vx
+from ..native import lib
+from . import wire
+
+
+class Broker:
+    """In-process handle on the C++ broker (one per deployment)."""
+
+    def __init__(self, port: int):
+        self.port = port
+        self._id = lib().cox_bus_serve(port)
+        if self._id < 0:
+            raise OSError(f"cannot bind bus broker on port {port}")
+
+    def close(self) -> None:
+        if self._id >= 0:
+            lib().cox_bus_stop(self._id)
+            self._id = -1
+
+
+class BusClient:
+    """One connection to the broker (pub/sub + request/reply)."""
+
+    def __init__(self, port: int, host: str = "127.0.0.1"):
+        self._h = lib().cox_bus_connect(host.encode(), port)
+        if self._h < 0:
+            raise OSError(f"cannot connect to bus at {host}:{port}")
+
+    def close(self) -> None:
+        if self._h >= 0:
+            lib().cox_bus_close(self._h)
+            self._h = -1
+
+    # -- raw ops -------------------------------------------------------------
+
+    def subscribe(self, topic: str) -> None:
+        if lib().cox_bus_subscribe(self._h, topic.encode()) != 0:
+            raise OSError("subscribe failed")
+
+    def advertise(self, service: str) -> None:
+        if lib().cox_bus_advertise(self._h, service.encode()) != 0:
+            raise OSError("advertise failed")
+
+    def publish(self, topic: str, payload: bytes) -> None:
+        buf = np.frombuffer(payload, np.uint8)
+        if lib().cox_bus_publish(self._h, topic.encode(),
+                                 buf.ctypes.data if len(buf) else None,
+                                 len(buf)) != 0:
+            raise OSError("publish failed")
+
+    def _slot(self) -> Tuple[str, bytes, int]:
+        L = lib()
+        n = L.cox_bus_msg_len(self._h)
+        tbuf = ctypes.create_string_buffer(512)
+        L.cox_bus_msg_topic(self._h, tbuf, 512)
+        out = np.empty(n, np.uint8)
+        if n:
+            L.cox_bus_msg_data(self._h, out.ctypes.data, n)
+        return (tbuf.value.decode(), out.tobytes(),
+                L.cox_bus_msg_reqid(self._h))
+
+    def poll(self, timeout_ms: int = 0):
+        """→ None | ('pub', topic, payload) | ('req', service, payload,
+        reqid)."""
+        t = lib().cox_bus_poll(self._h, timeout_ms)
+        if t <= 0:
+            if t < 0:
+                raise OSError("bus connection closed")
+            return None
+        topic, payload, reqid = self._slot()
+        if t == 2:
+            return ("pub", topic, payload)
+        return ("req", topic, payload, reqid)
+
+    def request(self, service: str, payload: bytes = b"",
+                timeout_ms: int = 30_000) -> bytes:
+        buf = np.frombuffer(payload, np.uint8)
+        n = lib().cox_bus_request(
+            self._h, service.encode(),
+            buf.ctypes.data if len(buf) else None, len(buf), timeout_ms)
+        if n < 0:
+            raise TimeoutError(f"request {service!r} failed/timed out")
+        out = np.empty(int(n), np.uint8)
+        if n:
+            lib().cox_bus_msg_data(self._h, out.ctypes.data, int(n))
+        return out.tobytes()
+
+    def reply(self, reqid: int, payload: bytes) -> None:
+        buf = np.frombuffer(payload, np.uint8)
+        if lib().cox_bus_reply(self._h, reqid,
+                               buf.ctypes.data if len(buf) else None,
+                               len(buf)) != 0:
+            raise OSError("reply failed")
+
+
+# ---------------------------------------------------------------------------
+# Remote client transport (ClientHandler ⇄ client services over the bus)
+# ---------------------------------------------------------------------------
+
+
+def _pack_handle(spec: vx.VoxelGridSpec, h) -> bytes:
+    """SubmapHandle → bytes (layer via the native wire serializer)."""
+    meta = pickle.dumps({
+        "client_id": h.client_id,
+        "client_submap_id": h.client_submap_id,
+        "T_cli_submap": np.asarray(h.T_cli_submap),
+        "start_time": h.start_time,
+        "end_time": h.end_time,
+        "hist_stamps": np.asarray(h.hist_stamps),
+        "hist_poses": np.asarray(h.hist_poses),
+    }, protocol=4)
+    layer_bytes = wire.serialize_layer(spec, h.layer)
+    return struct.pack("<II", len(meta), len(layer_bytes)) + meta + \
+        layer_bytes
+
+
+def _unpack_handle(spec: vx.VoxelGridSpec, buf: bytes):
+    from ..server.client_interface import SubmapHandle
+
+    ml, ll = struct.unpack_from("<II", buf, 0)
+    meta = pickle.loads(buf[8:8 + ml])
+    layer = wire.deserialize_layer(spec, buf[8 + ml:8 + ml + ll])
+    return SubmapHandle(
+        client_id=meta["client_id"],
+        client_submap_id=meta["client_submap_id"],
+        layer=layer,
+        T_cli_submap=jnp.asarray(meta["T_cli_submap"]),
+        start_time=meta["start_time"], end_time=meta["end_time"],
+        hist_stamps=meta["hist_stamps"],
+        hist_poses=jnp.asarray(meta["hist_poses"]))
+
+
+class ClientService:
+    """Robot-side pump: serves this robot's submaps/poses over the bus and
+    applies server pushes. Call step() from the robot's frame loop (the
+    reference client spins its service callbacks the same way)."""
+
+    def __init__(self, port: int, client, spec: vx.VoxelGridSpec):
+        self.client = client                # an InProcessClient
+        self.spec = spec
+        cid = client.client_id
+        self.bus = BusClient(port)
+        for srv in ("get_submap_by_time", "get_all_submaps",
+                    "lookup_pose", "loop_closure", "pose_updates"):
+            self.bus.advertise(f"client{cid}/{srv}")
+
+    def publish_timeline(self) -> None:
+        t0, t1 = self.client.timeline()
+        self.bus.publish(f"client{self.client.client_id}/time_line",
+                         struct.pack("<dd", t0, t1))
+
+    def step(self, timeout_ms: int = 0) -> bool:
+        """Serve at most one pending request. → whether one was served."""
+        msg = self.bus.poll(timeout_ms)
+        if msg is None or msg[0] != "req":
+            return msg is not None
+        _, service, payload, reqid = msg
+        name = service.split("/", 1)[1]
+        if name == "get_submap_by_time":
+            (t,) = struct.unpack("<d", payload)
+            h = self.client.get_submap_by_time(t)
+            out = b"" if h is None else _pack_handle(self.spec, h)
+        elif name == "get_all_submaps":
+            hs = self.client.get_all_submaps()
+            parts = [_pack_handle(self.spec, h) for h in hs]
+            out = struct.pack("<I", len(parts)) + b"".join(
+                struct.pack("<I", len(p)) + p for p in parts)
+        elif name == "lookup_pose":
+            k, t = struct.unpack("<id", payload)
+            out = np.asarray(self.client.lookup_pose_in_submap(k, t),
+                             np.float32).tobytes()
+        elif name == "loop_closure":
+            d = pickle.loads(payload)
+            ok = self.client.receive_loop_closure(
+                d["t_a"], d["t_b"], jnp.asarray(d["T"]),
+                None if d["sqrt_info"] is None
+                else jnp.asarray(d["sqrt_info"]))
+            out = struct.pack("<B", int(ok))
+        elif name == "pose_updates":
+            ups = [(k, jnp.asarray(p)) for k, p in pickle.loads(payload)]
+            self.client.apply_pose_updates(ups)
+            out = b"\x01"
+        else:
+            out = b""
+        self.bus.reply(reqid, out)
+        return True
+
+
+class RemoteClient:
+    """Server-side proxy with the InProcessClient interface, backed by bus
+    RPC (the reference's ClientHandler, client_handler.cpp:82-160)."""
+
+    def __init__(self, port: int, client_id: int, spec: vx.VoxelGridSpec,
+                 timeout_ms: int = 60_000):
+        self.client_id = client_id
+        self.spec = spec
+        self.timeout_ms = timeout_ms
+        self.bus = BusClient(port)
+        self.bus.subscribe(f"client{client_id}/time_line")
+        self._timeline = (0.0, -1.0)
+
+    def _srv(self, name: str) -> str:
+        return f"client{self.client_id}/{name}"
+
+    def timeline(self) -> Tuple[float, float]:
+        while True:
+            msg = self.bus.poll(0)
+            if msg is None:
+                break
+            if msg[0] == "pub" and msg[1].endswith("time_line"):
+                self._timeline = struct.unpack("<dd", msg[2])
+        return self._timeline
+
+    def get_submap_by_time(self, t: float):
+        out = self.bus.request(self._srv("get_submap_by_time"),
+                               struct.pack("<d", t), self.timeout_ms)
+        return None if not out else _unpack_handle(self.spec, out)
+
+    def get_all_submaps(self) -> List:
+        out = self.bus.request(self._srv("get_all_submaps"), b"",
+                               self.timeout_ms)
+        if not out:
+            return []
+        (n,) = struct.unpack_from("<I", out, 0)
+        off = 4
+        handles = []
+        for _ in range(n):
+            (ln,) = struct.unpack_from("<I", out, off)
+            off += 4
+            handles.append(_unpack_handle(self.spec, out[off:off + ln]))
+            off += ln
+        return handles
+
+    def lookup_pose_in_submap(self, k: int, t: float):
+        out = self.bus.request(self._srv("lookup_pose"),
+                               struct.pack("<id", k, t), self.timeout_ms)
+        return jnp.asarray(np.frombuffer(out, np.float32))
+
+    def receive_loop_closure(self, t_a: float, t_b: float, T,
+                             sqrt_info=None) -> bool:
+        payload = pickle.dumps({
+            "t_a": t_a, "t_b": t_b, "T": np.asarray(T),
+            "sqrt_info": None if sqrt_info is None
+            else np.asarray(sqrt_info)}, protocol=4)
+        out = self.bus.request(self._srv("loop_closure"), payload,
+                               self.timeout_ms)
+        return bool(out and out[0])
+
+    def apply_pose_updates(self, updates) -> None:
+        payload = pickle.dumps([(k, np.asarray(p)) for k, p in updates],
+                               protocol=4)
+        self.bus.request(self._srv("pose_updates"), payload,
+                         self.timeout_ms)

@@ -21,12 +21,14 @@ _LIB = None
 
 def _compile() -> str:
     os.makedirs(_BUILD, exist_ok=True)
-    src = os.path.join(_DIR, "serializer.cpp")
+    srcs = [os.path.join(_DIR, "serializer.cpp"),
+            os.path.join(_DIR, "bus.cpp")]
     so = os.path.join(_BUILD, "libcoxnative.so")
     if (not os.path.exists(so)
-            or os.path.getmtime(so) < os.path.getmtime(src)):
+            or any(os.path.getmtime(so) < os.path.getmtime(s)
+                   for s in srcs)):
         cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-               "-std=c++17", src, "-o", so + ".tmp"]
+               "-std=c++17", "-pthread", *srcs, "-o", so + ".tmp"]
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(so + ".tmp", so)
     return so
@@ -58,5 +60,40 @@ def lib() -> ctypes.CDLL:
             L.cox_deserialize.argtypes = [
                 ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+            # message bus (bus.cpp)
+            L.cox_bus_serve.restype = ctypes.c_int
+            L.cox_bus_serve.argtypes = [ctypes.c_uint16]
+            L.cox_bus_stop.restype = None
+            L.cox_bus_stop.argtypes = [ctypes.c_int]
+            L.cox_bus_connect.restype = ctypes.c_int
+            L.cox_bus_connect.argtypes = [ctypes.c_char_p, ctypes.c_uint16]
+            L.cox_bus_close.restype = None
+            L.cox_bus_close.argtypes = [ctypes.c_int]
+            for name in ("cox_bus_subscribe", "cox_bus_advertise"):
+                fn = getattr(L, name)
+                fn.restype = ctypes.c_int
+                fn.argtypes = [ctypes.c_int, ctypes.c_char_p]
+            L.cox_bus_publish.restype = ctypes.c_int
+            L.cox_bus_publish.argtypes = [ctypes.c_int, ctypes.c_char_p,
+                                          ctypes.c_void_p, ctypes.c_uint32]
+            L.cox_bus_reply.restype = ctypes.c_int
+            L.cox_bus_reply.argtypes = [ctypes.c_int, ctypes.c_uint64,
+                                        ctypes.c_void_p, ctypes.c_uint32]
+            L.cox_bus_poll.restype = ctypes.c_int
+            L.cox_bus_poll.argtypes = [ctypes.c_int, ctypes.c_int]
+            L.cox_bus_request.restype = ctypes.c_long
+            L.cox_bus_request.argtypes = [
+                ctypes.c_int, ctypes.c_char_p, ctypes.c_void_p,
+                ctypes.c_uint32, ctypes.c_int]
+            L.cox_bus_msg_len.restype = ctypes.c_uint32
+            L.cox_bus_msg_len.argtypes = [ctypes.c_int]
+            L.cox_bus_msg_reqid.restype = ctypes.c_uint64
+            L.cox_bus_msg_reqid.argtypes = [ctypes.c_int]
+            L.cox_bus_msg_topic.restype = ctypes.c_int
+            L.cox_bus_msg_topic.argtypes = [ctypes.c_int, ctypes.c_char_p,
+                                            ctypes.c_uint32]
+            L.cox_bus_msg_data.restype = ctypes.c_int
+            L.cox_bus_msg_data.argtypes = [ctypes.c_int, ctypes.c_void_p,
+                                           ctypes.c_uint32]
             _LIB = L
     return _LIB

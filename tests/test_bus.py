@@ -1,0 +1,192 @@
+"""Native message bus (native/bus.cpp + comm/bus.py) — the ROS-substrate
+equivalent: latched pub/sub, request/reply routing, and the remote-client
+transport (ClientHandler ⇄ client services, SURVEY.md §5.8)."""
+
+import socket
+import struct
+import threading
+import time
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coxgraph_tpu.comm import bus as cbus
+from coxgraph_tpu.core import geometry as geo, voxel as vx
+from coxgraph_tpu.frontends import synthetic as syn
+from coxgraph_tpu.mapper import submap_mapper as sm
+from coxgraph_tpu.ops import tsdf as tsdf_ops
+from coxgraph_tpu.server.client_interface import InProcessClient
+
+
+def free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+@pytest.fixture
+def broker():
+    port = free_port()
+    b = cbus.Broker(port)
+    yield port
+    b.close()
+
+
+def test_pub_sub_and_latching(broker):
+    pub = cbus.BusClient(broker)
+    sub = cbus.BusClient(broker)
+    sub.subscribe("tl")
+    time.sleep(0.05)
+    pub.publish("tl", b"hello")
+    msg = sub.poll(2000)
+    assert msg == ("pub", "tl", b"hello")
+    # latching: a late subscriber receives the last message immediately
+    late = cbus.BusClient(broker)
+    late.subscribe("tl")
+    msg = late.poll(2000)
+    assert msg == ("pub", "tl", b"hello")
+    for c in (pub, sub, late):
+        c.close()
+
+
+def test_request_reply_roundtrip(broker):
+    server = cbus.BusClient(broker)
+    server.advertise("echo")
+
+    def serve():
+        for _ in range(2):
+            msg = server.poll(5000)
+            assert msg and msg[0] == "req"
+            _, _, payload, reqid = msg
+            server.reply(reqid, payload[::-1])
+
+    t = threading.Thread(target=serve)
+    t.start()
+    cli = cbus.BusClient(broker)
+    assert cli.request("echo", b"abcdef", 5000) == b"fedcba"
+    assert cli.request("echo", b"xy", 5000) == b"yx"
+    t.join()
+    # unknown service → empty reply, not a hang
+    assert cli.request("nope", b"z", 5000) == b""
+    cli.close()
+    server.close()
+
+
+SPEC = vx.VoxelGridSpec(voxel_size=0.1, voxels_per_side=8, grid_dim=16,
+                        max_blocks=256, truncation=0.3)
+CFG = sm.MapperConfig(
+    spec=SPEC,
+    integrator=tsdf_ops.TsdfIntegratorConfig(max_touched_blocks=64),
+    intrinsics=syn.PinholeIntrinsics().scaled(0.125),
+    max_submaps=4, max_history=32, submap_interval=100.0)
+
+
+def make_robot(client_id=0):
+    scene = syn.default_scene()
+    T = syn.orbit_trajectory(1, scene.room_center, radius=2.5)[0]
+    depth, color = syn.render_depth(scene, CFG.intrinsics, T)
+    state = sm.create_mapper(CFG)
+    state = sm.start_submap(CFG, state, T, jnp.asarray(0.0))
+    state = sm.integrate(CFG, state, depth, color, T, jnp.asarray(0.0))
+    return InProcessClient(client_id, CFG, state)
+
+
+def test_remote_client_transport(broker):
+    robot = make_robot(client_id=1)
+    svc = cbus.ClientService(broker, robot, SPEC)
+    stop = threading.Event()
+
+    def pump():
+        while not stop.is_set():
+            svc.step(timeout_ms=50)
+
+    t = threading.Thread(target=pump)
+    t.start()
+    try:
+        proxy = cbus.RemoteClient(broker, client_id=1, spec=SPEC)
+
+        # timeline topic
+        svc.publish_timeline()
+        time.sleep(0.1)
+        t0, t1 = proxy.timeline()
+        assert (t0, t1) == robot.timeline()
+
+        # submap service: layer ships through the native wire format
+        h = proxy.get_submap_by_time(0.0)
+        assert h is not None and h.client_id == 1
+        local = robot.get_submap_by_time(0.0)
+        assert int(h.layer.num_blocks) == int(local.layer.num_blocks)
+        n = int(local.layer.num_blocks)
+        got = np.asarray(h.layer.sdf)[:n]
+        ref = np.asarray(local.layer.sdf)[:n]
+        obs = np.asarray(local.layer.weight)[:n] > 0
+        # wire format quantizes sdf — tolerance = its quantization step
+        assert np.abs(got - ref)[obs].max() < 0.01
+        np.testing.assert_allclose(np.asarray(h.hist_poses),
+                                   np.asarray(local.hist_poses))
+
+        # future time → None (ReqState::FUTURE equivalent)
+        assert proxy.get_submap_by_time(1e6) is None
+
+        # get_all_submaps
+        hs = proxy.get_all_submaps()
+        assert len(hs) == 1
+
+        # pose lookup
+        p = proxy.lookup_pose_in_submap(0, 0.0)
+        np.testing.assert_allclose(
+            np.asarray(p), np.asarray(robot.lookup_pose_in_submap(0, 0.0)),
+            atol=1e-6)
+
+        # pose updates push-back
+        new_pose = geo.from_xyzyaw(jnp.asarray([1.0, 2.0, 0.0, 0.3]))
+        proxy.apply_pose_updates([(0, new_pose)])
+        time.sleep(0.1)
+        np.testing.assert_allclose(
+            np.asarray(robot.state.collection.T_odom_submap)[0],
+            np.asarray(new_pose), atol=1e-6)
+    finally:
+        stop.set()
+        t.join()
+
+
+def test_server_over_bus(broker):
+    """CoxgraphServer driving REMOTE robots through the bus — the server
+    code path is identical to in-process clients (map fusion, submap
+    pulls, pose push-back all ride RPC)."""
+    from coxgraph_tpu.server import fusion_server as fs
+    from coxgraph_tpu.solver import pose_graph as pg
+
+    robots = [make_robot(client_id=0), make_robot(client_id=1)]
+    svcs = [cbus.ClientService(broker, r, SPEC) for r in robots]
+    stop = threading.Event()
+
+    def pump(svc):
+        while not stop.is_set():
+            svc.step(timeout_ms=50)
+
+    threads = [threading.Thread(target=pump, args=(s,)) for s in svcs]
+    for t in threads:
+        t.start()
+    try:
+        proxies = [cbus.RemoteClient(broker, client_id=i, spec=SPEC)
+                   for i in range(2)]
+        server = fs.CoxgraphServer(
+            fs.ServerConfig(spec=SPEC, max_submaps=8,
+                            solver=pg.SolverConfig(iterations=3)),
+            proxies)
+        mf = fs.MapFusionMsg(from_client=0, from_time=0.0,
+                             to_client=1, to_time=0.0,
+                             T_from_to=geo.identity())
+        assert server.map_fusion(mf)
+        assert len(server.submaps) == 2
+        # optimized poses were pushed back over the bus
+        time.sleep(0.2)
+        assert len(server.fusion_log) == 1
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
