@@ -222,6 +222,9 @@ class RemoteClient:
         self.bus = BusClient(port)
         self.bus.subscribe(f"client{client_id}/time_line")
         self._timeline = (0.0, -1.0)
+        # per-transfer bandwidth accounting (EvalDataPublisher parity,
+        # client_handler.cpp:92-95)
+        self.bandwidth = wire.BandwidthLog()
 
     def _srv(self, name: str) -> str:
         return f"client{self.client_id}/{name}"
@@ -236,13 +239,21 @@ class RemoteClient:
         return self._timeline
 
     def get_submap_by_time(self, t: float):
+        import time as _t
+        t0 = _t.monotonic()
         out = self.bus.request(self._srv("get_submap_by_time"),
                                struct.pack("<d", t), self.timeout_ms)
+        self.bandwidth.record(f"client{self.client_id}/submap",
+                              len(out), _t.monotonic() - t0)
         return None if not out else _unpack_handle(self.spec, out)
 
     def get_all_submaps(self) -> List:
+        import time as _t
+        t0 = _t.monotonic()
         out = self.bus.request(self._srv("get_all_submaps"), b"",
                                self.timeout_ms)
+        self.bandwidth.record(f"client{self.client_id}/all_submaps",
+                              len(out), _t.monotonic() - t0)
         if not out:
             return []
         (n,) = struct.unpack_from("<I", out, 0)

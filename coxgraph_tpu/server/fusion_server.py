@@ -59,6 +59,36 @@ class ServerConfig:
     registration_weight: float = 30.0
 
 
+def average_same_stamp(stamps: np.ndarray, poses: np.ndarray,
+                       decimals: int = 6):
+    """Average poses sharing a (rounded) timestamp: translations by mean,
+    quaternions componentwise after sign-aligning to the first member,
+    then renormalized (kindr interpolateComponentwise equivalent,
+    submap_collection.h:95-144). Returns stamps sorted ascending."""
+    stamps = np.asarray(stamps)
+    poses = np.asarray(poses)
+    key = stamps.round(decimals)
+    uniq, inv, counts = np.unique(key, return_inverse=True,
+                                  return_counts=True)
+    out = np.zeros((uniq.shape[0], 7))
+    # sign-align every quat to its group's first occurrence
+    first = np.zeros(uniq.shape[0], np.int64)
+    first[inv[::-1]] = np.arange(len(inv))[::-1]
+    ref_q = poses[first][inv, :4]
+    sign = np.where(np.sum(poses[:, :4] * ref_q, axis=1) < 0, -1.0, 1.0)
+    q = poses[:, :4] * sign[:, None]
+    for c in range(4):
+        out[:, c] = np.bincount(inv, weights=q[:, c],
+                                minlength=uniq.shape[0])
+    for c in range(3):
+        out[:, 4 + c] = np.bincount(inv, weights=poses[:, 4 + c],
+                                    minlength=uniq.shape[0])
+    out /= counts[:, None]
+    out[:, :4] /= np.maximum(
+        np.linalg.norm(out[:, :4], axis=1, keepdims=True), 1e-12)
+    return uniq, out
+
+
 @dataclasses.dataclass
 class MapFusionMsg:
     """Inter-robot loop closure (coxgraph_msgs/MapFusion.msg:1-6)."""
@@ -393,7 +423,10 @@ class CoxgraphServer:
 
     def pose_history(self, client_id: int):
         """Global-frame trajectory of one client from its submap histories
-        (PoseHistorySrv / savePoseHistoryToFile equivalent)."""
+        (PoseHistorySrv / savePoseHistoryToFile equivalent). Poses sharing
+        a timestamp (overlapping submaps observing the same frame) are
+        averaged componentwise, as the reference does with
+        kindr::interpolateComponentwise (submap_collection.h:95-144)."""
         stamps, poses = [], []
         for s in self.submaps:
             if s.client_id != client_id or len(s.hist_stamps) == 0:
@@ -404,4 +437,5 @@ class CoxgraphServer:
             poses.append(seg)
         if not stamps:
             return np.zeros((0,)), np.zeros((0, 7))
-        return np.concatenate(stamps), np.concatenate(poses)
+        return average_same_stamp(np.concatenate(stamps),
+                                  np.concatenate(poses))

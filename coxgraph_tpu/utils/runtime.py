@@ -78,3 +78,38 @@ class Timers:
             {k: {"n": self.count[k], "total_s": self.total[k]}
              for k in self.total}
         )
+
+
+class ResourceSampler:
+    """Process CPU/memory sampling — the node_evaluator equivalent
+    (reference: per-node CPU/mem/bandwidth metrics wired through
+    evaluation_config.yaml:1-9). Reads /proc; sample() returns deltas
+    since the previous call."""
+
+    def __init__(self):
+        self._last = None
+        self.samples = []
+
+    @staticmethod
+    def _read():
+        import os
+        import time as _t
+        with open(f"/proc/{os.getpid()}/stat") as f:
+            parts = f.read().split()
+        utime, stime = int(parts[13]), int(parts[14])
+        rss_pages = int(parts[23])
+        tick = os.sysconf("SC_CLK_TCK")
+        page = os.sysconf("SC_PAGE_SIZE")
+        return (_t.monotonic(), (utime + stime) / tick, rss_pages * page)
+
+    def sample(self) -> dict:
+        now = self._read()
+        if self._last is None:
+            self._last = now
+            return {"cpu_pct": 0.0, "rss_mb": now[2] / 1e6}
+        dt = max(now[0] - self._last[0], 1e-9)
+        cpu = 100.0 * (now[1] - self._last[1]) / dt
+        self._last = now
+        rec = {"cpu_pct": cpu, "rss_mb": now[2] / 1e6}
+        self.samples.append(rec)
+        return rec

@@ -123,3 +123,33 @@ esdf: {max_distance: 3.0}
         assert False
     except KeyError:
         pass
+
+
+def test_resource_sampler():
+    from coxgraph_tpu.utils.runtime import ResourceSampler
+    rs = ResourceSampler()
+    first = rs.sample()
+    assert first["rss_mb"] > 1.0
+    # burn some CPU so the delta is visible
+    x = 0
+    for i in range(2_000_00):
+        x += i * i
+    rec = rs.sample()
+    assert rec["rss_mb"] > 1.0 and rec["cpu_pct"] >= 0.0
+    assert len(rs.samples) == 1
+
+
+def test_average_same_stamp():
+    import numpy as np
+    from coxgraph_tpu.server.fusion_server import average_same_stamp
+
+    stamps = np.array([0.2, 0.1, 0.2])
+    q = np.array([[1, 0, 0, 0, 0, 0, 0.0],
+                  [1, 0, 0, 0, 1, 1, 1.0],
+                  [-1, 0, 0, 0, 2, 0, 0.0]])  # negated quat, same rotation
+    s, p = average_same_stamp(stamps, q)
+    np.testing.assert_allclose(s, [0.1, 0.2])
+    # the duplicate pair averages translation; quats sign-align first
+    np.testing.assert_allclose(p[1, 4:], [1.0, 0.0, 0.0])
+    np.testing.assert_allclose(np.abs(p[1, 0]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(p[0, 4:], [1, 1, 1.0])
