@@ -173,6 +173,26 @@ class ClientService:
         self.bus.publish(f"client{self.client.client_id}/time_line",
                          struct.pack("<dd", t0, t1))
 
+    def publish_pose_updates(self) -> None:
+        """Push local-PGO pose changes to the server (the client's
+        map_pose_updates topic, coxgraph_client.cpp:135-153)."""
+        ups = self.client.pose_update_deltas()
+        if ups:
+            self.bus.publish(
+                f"client{self.client.client_id}/map_pose_updates",
+                pickle.dumps([(int(k), np.asarray(p)) for k, p in ups],
+                             protocol=4))
+
+    def publish_submap_mesh(self, mesh_msg) -> None:
+        """Push a finished submap's mesh+trajectory to the server's
+        MeshCollection (submap_mesh_with_traj topic,
+        map_server.cpp:119-152 → client_handler.h:185-193). The
+        (client, submap) ids travel inside the message — the wire
+        equivalent of resolveSubmapFrame's frame-id encoding
+        (msg_converter.h:169-175)."""
+        self.bus.publish(f"client{self.client.client_id}/submap_mesh",
+                         mesh_msg.pack())
+
     def step(self, timeout_ms: int = 0) -> bool:
         """Serve at most one pending request. → whether one was served."""
         msg = self.bus.poll(timeout_ms)
@@ -286,3 +306,151 @@ class RemoteClient:
                                protocol=4)
         self.bus.request(self._srv("pose_updates"), payload,
                          self.timeout_ms)
+
+
+# ---------------------------------------------------------------------------
+# Server-side bus surface (the coxgraph_server node's topics + services)
+# ---------------------------------------------------------------------------
+
+
+class ServerService:
+    """Bus pump exposing a CoxgraphServer to other processes — the server
+    node's full ROS surface (map_fusion_in topic + get_final_global_mesh /
+    get_pose_history / need_to_fuse services, coxgraph_server.cpp:87-95;
+    control_trigger / state_query, distribution_controller.h:49-55;
+    per-client map_pose_updates + submap_mesh subscriptions,
+    client_handler.cpp:106-129 + client_handler.h:185-193).
+
+    Call step() from the server's control loop."""
+
+    def __init__(self, port: int, server):
+        self.server = server
+        self.bus = BusClient(port)
+        self.bus.subscribe("map_fusion_in")
+        for cid in server.clients:
+            self.bus.subscribe(f"client{cid}/map_pose_updates")
+            self.bus.subscribe(f"client{cid}/submap_mesh")
+        for srv in ("need_to_fuse", "control_trigger", "state_query",
+                    "get_final_global_mesh", "get_pose_history"):
+            self.bus.advertise(f"server/{srv}")
+
+    def _on_pub(self, topic: str, payload: bytes) -> None:
+        if topic == "map_fusion_in":
+            from ..server.fusion_server import MapFusionMsg
+
+            d = pickle.loads(payload)
+            self.server.map_fusion(MapFusionMsg(
+                from_client=d["from_client"], from_time=d["from_time"],
+                to_client=d["to_client"], to_time=d["to_time"],
+                T_from_to=jnp.asarray(d["T"]),
+                sqrt_info=None if d["sqrt_info"] is None
+                else jnp.asarray(d["sqrt_info"])))
+        elif topic.endswith("/map_pose_updates"):
+            cid = int(topic.split("/", 1)[0][len("client"):])
+            ups = [(k, jnp.asarray(p)) for k, p in pickle.loads(payload)]
+            self.server.client_pose_updates(cid, ups)
+        elif topic.endswith("/submap_mesh"):
+            from . import mesh_comm
+
+            m = mesh_comm.MeshWithHistory.unpack(payload)
+            self.server.add_submap_mesh(m.client_id, m.submap_id, m)
+
+    def _serve(self, name: str, payload: bytes) -> bytes:
+        if name == "need_to_fuse":
+            a, b, t = struct.unpack("<iid", payload)
+            return struct.pack("<B", int(self.server.need_to_fuse(a, b, t)))
+        if name == "control_trigger":
+            self.server.control_trigger(bool(payload[0]))
+            return b"\x01"
+        if name == "state_query":
+            q = self.server.state_query()
+            return pickle.dumps(
+                {"n_submaps": q["n_submaps"],
+                 "aabbs": [np.asarray(a) for a in q["aabbs"]]}, protocol=4)
+        if name == "get_final_global_mesh":
+            # FilePath.srv semantics: empty path = no export
+            path = payload.decode() or None
+            _, verts, _ = self.server.get_final_global_mesh(path)
+            return struct.pack("<I", int(verts.reshape(-1, 3).shape[0]))
+        if name == "get_pose_history":
+            (cid,) = struct.unpack("<i", payload)
+            stamps, poses = self.server.pose_history(cid)
+            return pickle.dumps((np.asarray(stamps), np.asarray(poses)),
+                                protocol=4)
+        return b""
+
+    def step(self, timeout_ms: int = 0) -> bool:
+        """Process at most one bus event. → whether one was processed."""
+        msg = self.bus.poll(timeout_ms)
+        if msg is None:
+            return False
+        if msg[0] == "pub":
+            self._on_pub(msg[1], msg[2])
+        else:
+            _, service, payload, reqid = msg
+            self.bus.reply(reqid, self._serve(service.split("/", 1)[1],
+                                              payload))
+        return True
+
+    def drain(self) -> int:
+        """Process everything pending. → number of events."""
+        n = 0
+        while self.step(0):
+            n += 1
+        return n
+
+
+class RemoteVIO:
+    """Bus face of the coxgraph_mod VIO adapter for out-of-process SLAM
+    frontends: publish_loop_closure → map_fusion_in publication
+    (LoopClosurePublisher, loop_closure_publisher.h:71-136), need_to_fuse
+    → server service with result caching (:150-169), control_trigger /
+    state_query service clients (distribution_controller.h:49-55)."""
+
+    def __init__(self, port: int, host: str = "127.0.0.1",
+                 timeout_ms: int = 30_000):
+        self.bus = BusClient(port, host)
+        self.timeout_ms = timeout_ms
+        self._ntf_cache: dict = {}
+
+    def publish_loop_closure(self, from_client: int, from_time: float,
+                             to_client: int, to_time: float, T,
+                             sqrt_info=None) -> None:
+        """Fire-and-forget, like the reference's topic publication (the
+        server decides intra-loop vs map-fusion routing)."""
+        self.bus.publish("map_fusion_in", pickle.dumps({
+            "from_client": from_client, "from_time": from_time,
+            "to_client": to_client, "to_time": to_time,
+            "T": np.asarray(T),
+            "sqrt_info": None if sqrt_info is None else np.asarray(sqrt_info),
+        }, protocol=4))
+
+    def need_to_fuse(self, cid_a: int, cid_b: int, t: float,
+                     use_cache: bool = True) -> bool:
+        key = (min(cid_a, cid_b), max(cid_a, cid_b))
+        if use_cache and key in self._ntf_cache:
+            return self._ntf_cache[key]
+        out = self.bus.request("server/need_to_fuse",
+                               struct.pack("<iid", cid_a, cid_b, t),
+                               self.timeout_ms)
+        val = bool(out and out[0])
+        self._ntf_cache[key] = val
+        return val
+
+    def control_trigger(self, in_control: bool) -> None:
+        self.bus.request("server/control_trigger",
+                         struct.pack("<B", int(in_control)), self.timeout_ms)
+
+    def state_query(self) -> dict:
+        return pickle.loads(
+            self.bus.request("server/state_query", b"", self.timeout_ms))
+
+    def get_final_global_mesh(self, path: str = "") -> int:
+        out = self.bus.request("server/get_final_global_mesh",
+                               path.encode(), self.timeout_ms)
+        return struct.unpack("<I", out)[0]
+
+    def get_pose_history(self, client_id: int):
+        out = self.bus.request("server/get_pose_history",
+                               struct.pack("<i", client_id), self.timeout_ms)
+        return pickle.loads(out)

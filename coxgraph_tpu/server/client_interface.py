@@ -52,6 +52,7 @@ class InProcessClient:
         self.state = state
         self.sent_submaps: set[int] = set()   # send-once policy
         self.bytes_sent = 0                   # bandwidth accounting
+        self._published_poses: dict = {}      # csid → last-published pose
 
     # -- topics the client publishes --------------------------------------
 
@@ -64,6 +65,24 @@ class InProcessClient:
         # fresh program per index on remote TPUs (utils/hostops)
         return (float(np.asarray(col.start_time)[0]),
                 float(np.asarray(col.end_time)[n - 1]))
+
+    def pose_update_deltas(self) -> List[Tuple[int, Array]]:
+        """Submap poses changed since the last call — the client's
+        map_pose_updates publication after local PGO
+        (publishMapPoseUpdates, coxgraph_client.cpp:135-153 publishes only
+        submaps whose pose moved)."""
+        col = self.state.collection
+        n = int(col.num_submaps)
+        if n == 0:
+            return []
+        T = np.asarray(col.T_odom_submap)[:n]
+        out = []
+        for k in range(n):
+            prev = self._published_poses.get(k)
+            if prev is None or not np.allclose(prev, T[k], atol=1e-6):
+                out.append((k, jnp.asarray(T[k])))
+                self._published_poses[k] = T[k].copy()
+        return out
 
     # -- services ----------------------------------------------------------
 
@@ -144,6 +163,8 @@ class InProcessClient:
         T = np.asarray(col.T_odom_submap).copy()
         for k, pose in updates:
             T[k] = np.asarray(pose)
+            # don't echo server-pushed poses back as client updates
+            self._published_poses[int(k)] = T[k].copy()
         self.state = dataclasses.replace(
             self.state,
             collection=dataclasses.replace(col,

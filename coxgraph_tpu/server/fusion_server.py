@@ -57,6 +57,14 @@ class ServerConfig:
     refine_fusion_with_icp: bool = False
     icp_max_correction: float = 0.15   # reject ICP drift beyond this (se3)
     registration_weight: float = 30.0
+    # Loop-candidate verification (voxgraph checkLoopClosureCandidates,
+    # run before every PGO at coxgraph_server.cpp:509-512). The reference
+    # only WARNS on failure (the return at :511 is commented out), so
+    # rejection is opt-in here.
+    verbose: bool = False
+    reject_bad_candidates: bool = False
+    candidate_max_rms: float = 0.75    # voxels, surface-agreement gate
+    candidate_min_inliers: int = 30
 
 
 def average_same_stamp(stamps: np.ndarray, poses: np.ndarray,
@@ -124,6 +132,10 @@ class CoxgraphServer:
         self.submaps: List[ServerSubmap] = []
         self.cli_ser: Dict[Tuple[int, int], int] = {}
         self.constraints = pg.RelPoseConstraints.empty(cfg.max_constraints)
+        # host-side constraint type tags, insertion order ("submap_rp" =
+        # per-client chain, "fusion" = inter-robot loop), for residual
+        # reporting by type (evaluateResiduals, coxgraph_server.cpp:541-554)
+        self.constraint_kinds: List[str] = []
         self.T_G_cli: Dict[int, Array] = {
             c.client_id: geo.identity() for c in clients}
         self.fused: Dict[int, bool] = {c.client_id: c.client_id ==
@@ -133,6 +145,10 @@ class CoxgraphServer:
         self.future_queue: List[Tuple[MapFusionMsg, int]] = []
         self.in_control = True          # DistributionController
         self.fusion_log: List[dict] = []
+        self.candidate_log: List[dict] = []   # checkLoopClosureCandidates
+        # (cid, csid) → client-pushed submap mesh (MeshCollection upsert
+        # cache, visualizer/mesh_collection.h:25-31)
+        self.mesh_collection: Dict[Tuple[int, int], object] = {}
 
     # ------------------------------------------------------------------
     # Distribution controller (distribution_controller.h:49-87)
@@ -198,7 +214,52 @@ class CoxgraphServer:
             self.constraints = self.constraints.add(
                 prev, sid, T_prev_new,
                 self.cfg.odom_sqrt_info * jnp.eye(6))
+            self.constraint_kinds.append("submap_rp")
         return sid
+
+    def add_submap_mesh(self, cid: int, csid: int, mesh_msg) -> None:
+        """Cache a client-pushed submap mesh (ClientHandler::
+        submapMeshCallback → MeshCollection::addSubmapMesh,
+        client_handler.h:185-193, mesh_collection.h:25-31)."""
+        self.mesh_collection[(int(cid), int(csid))] = mesh_msg
+
+    def client_pose_updates(self, cid: int,
+                            updates: List[Tuple[int, Array]]) -> None:
+        """Client local-PGO pose push: update the stored client-odom pose
+        (both current and 'original', as the reference does with setPose +
+        updateOriPose, client_handler.cpp:106-129), keep the global pose
+        consistent, and rebuild the chain constraints."""
+        changed = False
+        for csid, T in updates:
+            sid = self.cli_ser.get((cid, int(csid)))
+            if sid is None:
+                continue
+            s = self.submaps[sid]
+            s.T_cli_submap = jnp.asarray(T)
+            s.T_G_submap = geo.compose(self.T_G_cli[cid], jnp.asarray(T))
+            changed = True
+        if changed:
+            self.update_submap_rp_constraints()
+
+    def update_submap_rp_constraints(self) -> None:
+        """Recompute per-client chain measurements from the current
+        client-odom submap poses (updateSubmapRPConstraints — the
+        reference rebuilds these before every fusion solve,
+        pose_graph_interface.cpp:51-71, coxgraph_server.cpp:478-501)."""
+        if "submap_rp" not in self.constraint_kinds:
+            return
+        ci = np.asarray(self.constraints.i)
+        cj = np.asarray(self.constraints.j)
+        T = np.asarray(self.constraints.T_meas).copy()
+        for m, kind in enumerate(self.constraint_kinds):
+            if kind != "submap_rp":
+                continue
+            a, b = int(ci[m]), int(cj[m])
+            T[m] = geo.relative_np(
+                np.asarray(self.submaps[a].T_cli_submap),
+                np.asarray(self.submaps[b].T_cli_submap))
+        self.constraints = dataclasses.replace(self.constraints,
+                                               T_meas=jnp.asarray(T))
 
     def _poses(self) -> Array:
         """Current global submap pose array (padded to max_submaps).
@@ -271,9 +332,25 @@ class CoxgraphServer:
                     and correction < self.cfg.icp_max_correction):
                 T_sa_sb = r.T_A_B
 
+        # candidate verification by dense TSDF agreement
+        # (checkLoopClosureCandidates, coxgraph_server.cpp:509-512)
+        check = global_opt.check_loop_closure_candidates(
+            self.cfg.spec, [self.submaps[sa].layer, self.submaps[sb].layer],
+            [(0, 1, T_sa_sb)], self.cfg.registration,
+            max_rms=self.cfg.candidate_max_rms,
+            min_inliers=self.cfg.candidate_min_inliers)[0]
+        check["sa"], check["sb"] = sa, sb
+        self.candidate_log.append(check)
+        if not check["ok"]:
+            # reference behaviour: warn and proceed (the early return at
+            # coxgraph_server.cpp:511 is commented out); rejection opt-in
+            if self.cfg.reject_bad_candidates:
+                return False
+
         si = (mf.sqrt_info if mf.sqrt_info is not None
               else self.cfg.fusion_sqrt_info * jnp.eye(6))
         self.constraints = self.constraints.add(sa, sb, T_sa_sb, si)
+        self.constraint_kinds.append("fusion")
 
         key = (min(mf.from_client, mf.to_client),
                max(mf.from_client, mf.to_client))
@@ -296,6 +373,7 @@ class CoxgraphServer:
         n = len(self.submaps)
         if n < 2:
             return {}
+        self.update_submap_rp_constraints()
         poses = self._poses()
         layers = [s.layer for s in self.submaps] + \
             [self.submaps[0].layer] * (self.cfg.max_submaps - n)
@@ -311,8 +389,20 @@ class CoxgraphServer:
         self._apply_global_poses(new_poses)
         self._align_client_frames(new_poses)
         self._push_pose_updates()
+        if self.cfg.verbose:
+            info["residuals"] = self.evaluate_residuals()
         self.fusion_log.append(info)
         return info
+
+    def evaluate_residuals(self) -> Dict[str, list]:
+        """Per-type whitened residual norms at the current global poses
+        (CoxgraphServer::evaluateResiduals, coxgraph_server.cpp:541-554:
+        map-fusion constraints then submap relative-pose constraints)."""
+        norms = global_opt.evaluate_residuals(self._poses(), self.constraints)
+        out: Dict[str, list] = {"fusion": [], "submap_rp": []}
+        for k, kind in enumerate(self.constraint_kinds):
+            out[kind].append(float(norms[k]))
+        return out
 
     def _apply_global_poses(self, poses: Array) -> None:
         for s in self.submaps:

@@ -77,6 +77,53 @@ def find_overlapping_pairs(spec: vx.VoxelGridSpec,
     return pairs
 
 
+def evaluate_residuals(poses: Array,
+                       constraints: pg.RelPoseConstraints) -> np.ndarray:
+    """Per-constraint whitened residual norms, insertion order (invalid
+    rows are 0) — voxgraph PoseGraphInterface::evaluateResiduals parity
+    (printed after each PGO run when verbose,
+    coxgraph_server.cpp:541-554, pose_graph_interface.h:85-90)."""
+    r = pg.residuals(poses, constraints)
+    return np.asarray(jnp.linalg.norm(r, axis=-1))
+
+
+def check_loop_closure_candidates(
+        spec: vx.VoxelGridSpec,
+        layers: Sequence[vx.TsdfLayer],
+        candidates: Sequence[Tuple[int, int, Array]],
+        cfg: reg.RegistrationConfig = reg.RegistrationConfig(),
+        max_rms: float = 0.5,
+        min_inliers: int = 30,
+) -> List[dict]:
+    """Verify candidate loop closures by dense TSDF agreement — the
+    TPU-native equivalent of voxgraph's checkLoopClosureCandidates
+    (called before every PGO run, coxgraph_server.cpp:509-512; the
+    reference only WARNS on failure and optimizes anyway — the commented
+    return at :511 — so callers here gate on the result themselves).
+
+    For each (i, j, T_i_j) candidate: sample submap i's surface points,
+    map them through T_i_j into submap j, and read j's TSDF there. A true
+    loop closure places surface on surface → small |sdf| at many points.
+    Returns one dict per candidate: {i, j, rms (in voxels), n_inliers,
+    ok}."""
+    out = []
+    for (i, j, T_i_j) in candidates:
+        pts, mask = reg.extract_surface_points(spec, layers[i], cfg)
+        s_i, _, ok_i = vx.sample_tsdf_trilinear(spec, layers[i], pts)
+        r, m = reg.registration_residuals(
+            spec, layers[j], pts, jnp.where(ok_i, s_i, 0.0), mask & ok_i,
+            geo.identity(), jnp.asarray(T_i_j))
+        m = np.asarray(m)
+        r = np.asarray(r)[m]
+        n = int(m.sum())
+        rms = float(np.sqrt(np.mean(r ** 2))) if n else np.inf
+        out.append({"i": int(i), "j": int(j), "rms": rms / spec.voxel_size,
+                    "n_inliers": n,
+                    "ok": bool(n >= min_inliers
+                               and rms / spec.voxel_size <= max_rms)})
+    return out
+
+
 @dataclasses.dataclass
 class RegistrationPair:
     i: int

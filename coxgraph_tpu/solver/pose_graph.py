@@ -73,6 +73,44 @@ class RelPoseConstraints:
         )
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class HeightConstraints:
+    """Fixed-capacity pool of absolute height priors
+    r = (1/stddev) · (position_z(T_i) - height).
+
+    Parity with voxgraph's HeightConstraint (absolute z measurement per
+    submap node, e.g. barometer/GPS; part of the voxgraph constraint
+    taxonomy inventoried at SURVEY.md §2.9)."""
+
+    i: Array           # (M,) int32
+    height: Array      # (M,)
+    info: Array        # (M,)  1/stddev whitening weight
+    valid: Array       # (M,) bool
+    count: Array       # () int32
+
+    @staticmethod
+    def empty(capacity: int) -> "HeightConstraints":
+        return HeightConstraints(
+            i=jnp.zeros((capacity,), jnp.int32),
+            height=jnp.zeros((capacity,)),
+            info=jnp.ones((capacity,)),
+            valid=jnp.zeros((capacity,), jnp.bool_),
+            count=jnp.zeros((), jnp.int32),
+        )
+
+    def add(self, i, height, stddev: float = 1.0) -> "HeightConstraints":
+        """Append one height prior (drops silently if pool is full)."""
+        k = self.count
+        return HeightConstraints(
+            i=self.i.at[k].set(jnp.asarray(i, jnp.int32), mode="drop"),
+            height=self.height.at[k].set(height, mode="drop"),
+            info=self.info.at[k].set(1.0 / stddev, mode="drop"),
+            valid=self.valid.at[k].set(True, mode="drop"),
+            count=jnp.minimum(k + 1, self.i.shape[0]),
+        )
+
+
 @dataclasses.dataclass(frozen=True)
 class SolverConfig:
     """LM solve parameters (reference budget: ≤4 s wall, tol 3e-3,
@@ -110,8 +148,25 @@ def residuals(poses: Array, c: RelPoseConstraints) -> Array:
     return jnp.where(c.valid[:, None], r, 0.0)
 
 
+def _height_residual(Ti: Array, height: Array, info: Array) -> Array:
+    """Whitened scalar height residual info·(z(T_i) − height)."""
+    return info * (geo.translation(Ti)[2] - height)
+
+
+def _height_residual_at_delta(di: Array, Ti: Array, height: Array,
+                              info: Array) -> Array:
+    return _height_residual(geo.compose(Ti, geo.se3_exp(di)), height, info)
+
+
+def height_residuals(poses: Array, h: HeightConstraints) -> Array:
+    """All whitened height residuals (M,); invalid rows are zero."""
+    r = jax.vmap(_height_residual)(poses[h.i], h.height, h.info)
+    return jnp.where(h.valid, r, 0.0)
+
+
 def _build_normal_equations(poses: Array, c: RelPoseConstraints,
-                            cfg: SolverConfig, fixed: Array):
+                            cfg: SolverConfig, fixed: Array,
+                            h: Optional[HeightConstraints] = None):
     """→ (H (6N,6N), b (6N,), cost ())."""
     n = poses.shape[0]
     zero6 = jnp.zeros((6,))
@@ -157,6 +212,25 @@ def _build_normal_equations(poses: Array, c: RelPoseConstraints,
     b = b.at[c.i].add(jnp.einsum("mab,ma->mb", Ji, r))
     b = b.at[c.j].add(jnp.einsum("mab,ma->mb", Jj, r))
 
+    cost = 0.5 * jnp.sum(r * r)
+
+    if h is not None and h.i.shape[0] > 0:
+        def one_h(Ti, height, info):
+            rh = _height_residual_at_delta(zero6, Ti, height, info)
+            Jh = jax.jacfwd(_height_residual_at_delta)(
+                zero6, Ti, height, info
+            )
+            return rh, Jh
+
+        rh, Jh = jax.vmap(one_h)(poses[h.i], h.height, h.info)
+        rh = jnp.where(h.valid, rh, 0.0)
+        Jh = jnp.where(h.valid[:, None], Jh, 0.0)
+        if cfg.yaw_only:
+            Jh = Jh * jnp.array([0.0, 0.0, 1.0, 1.0, 1.0, 1.0])[None, :]
+        H = H.at[h.i, :, h.i, :].add(jnp.einsum("ma,mb->mab", Jh, Jh))
+        b = b.at[h.i].add(Jh * rh[:, None])
+        cost = cost + 0.5 * jnp.sum(rh * rh)
+
     H = H.reshape(6 * n, 6 * n)
     b = b.reshape(6 * n)
 
@@ -171,7 +245,6 @@ def _build_normal_equations(poses: Array, c: RelPoseConstraints,
     H = jnp.where(fmask[:, None] | fmask[None, :], 0.0, H)
     H = H + jnp.diag(fmask.astype(H.dtype))
     b = jnp.where(fmask, 0.0, b)
-    cost = 0.5 * jnp.sum(r * r)
     return H, b, cost
 
 
@@ -182,13 +255,19 @@ def _apply_delta(poses: Array, delta: Array, cfg: SolverConfig) -> Array:
     return jax.vmap(lambda T, x: geo.compose(T, geo.se3_exp(x)))(poses, d)
 
 
-def _total_cost(poses: Array, c: RelPoseConstraints, cfg: SolverConfig):
+def _total_cost(poses: Array, c: RelPoseConstraints, cfg: SolverConfig,
+                h: Optional[HeightConstraints] = None):
     r = residuals(poses, c)
     if cfg.huber_delta > 0:
         nrm = jnp.linalg.norm(r, axis=-1)
         w = jnp.minimum(1.0, cfg.huber_delta / jnp.maximum(nrm, 1e-12))
-        return 0.5 * jnp.sum(w * nrm * nrm)
-    return 0.5 * jnp.sum(r * r)
+        cost = 0.5 * jnp.sum(w * nrm * nrm)
+    else:
+        cost = 0.5 * jnp.sum(r * r)
+    if h is not None and h.i.shape[0] > 0:
+        rh = height_residuals(poses, h)
+        cost = cost + 0.5 * jnp.sum(rh * rh)
+    return cost
 
 
 class SolveResult(NamedTuple):
@@ -201,8 +280,11 @@ class SolveResult(NamedTuple):
 @partial(jax.jit, static_argnums=(2,))
 def optimize(poses: Array, constraints: RelPoseConstraints,
              cfg: SolverConfig = SolverConfig(),
-             fixed: Optional[Array] = None) -> SolveResult:
-    """LM optimization of poses (N,7) under relative-pose constraints.
+             fixed: Optional[Array] = None,
+             heights: Optional[HeightConstraints] = None) -> SolveResult:
+    """LM optimization of poses (N,7) under relative-pose constraints
+    (plus optional absolute height priors, voxgraph HeightConstraint
+    parity).
 
     fixed: (N,) bool — poses held constant (default: pose 0 only, matching
     the reference's non-robocentric mode, pose_graph_interface.cpp:10-30).
@@ -220,17 +302,18 @@ def optimize(poses: Array, constraints: RelPoseConstraints,
         True, mode="drop")
     fixed = fixed | ~touched
 
-    init_cost = _total_cost(poses, constraints, cfg)
+    init_cost = _total_cost(poses, constraints, cfg, heights)
 
     def step(carry, _):
         poses, lam = carry
-        H, b, cost = _build_normal_equations(poses, constraints, cfg, fixed)
+        H, b, cost = _build_normal_equations(
+            poses, constraints, cfg, fixed, heights)
         Hd = H + lam * jnp.diag(jnp.maximum(jnp.diag(H), 1e-8))
         delta = jax.scipy.linalg.solve(
             Hd, -b, assume_a="pos",
         )
         new_poses = _apply_delta(poses, delta, cfg)
-        new_cost = _total_cost(new_poses, constraints, cfg)
+        new_cost = _total_cost(new_poses, constraints, cfg, heights)
         accept = new_cost < cost
         poses = jax.tree.map(
             lambda a, b_: jnp.where(accept, a, b_), new_poses, poses
@@ -245,7 +328,7 @@ def optimize(poses: Array, constraints: RelPoseConstraints,
     )
     return SolveResult(
         poses=out_poses,
-        cost=_total_cost(out_poses, constraints, cfg),
+        cost=_total_cost(out_poses, constraints, cfg, heights),
         initial_cost=init_cost,
         iterations=jnp.asarray(cfg.iterations),
     )

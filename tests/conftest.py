@@ -17,3 +17,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# persistent compilation cache: the suite's dominant cost is first-time
+# XLA compiles; repeat runs hit the cache
+from coxgraph_tpu.utils import runtime  # noqa: E402
+
+runtime.enable_compilation_cache()

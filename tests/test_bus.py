@@ -190,3 +190,115 @@ def test_server_over_bus(broker):
         stop.set()
         for t in threads:
             t.join()
+
+
+def test_server_service_and_remote_vio(broker, tmp_path):
+    """The server's own bus surface: a RemoteVIO (out-of-process SLAM
+    frontend, coxgraph_mod parity) publishes MapFusion and calls the
+    need_to_fuse / state_query / control_trigger / final-mesh /
+    pose-history services; clients push map_pose_updates and submap
+    meshes into the server's MeshCollection."""
+    from coxgraph_tpu.comm import mesh_comm
+    from coxgraph_tpu.server import fusion_server as fs
+    from coxgraph_tpu.solver import pose_graph as pg
+
+    robots = [make_robot(client_id=0), make_robot(client_id=1)]
+    svcs = [cbus.ClientService(broker, r, SPEC) for r in robots]
+    proxies = [cbus.RemoteClient(broker, client_id=i, spec=SPEC)
+               for i in range(2)]
+    server = fs.CoxgraphServer(
+        fs.ServerConfig(spec=SPEC, max_submaps=8, refuse_interval=0.0,
+                        solver=pg.SolverConfig(iterations=3)),
+        proxies)
+    ss = cbus.ServerService(broker, server)
+    stop = threading.Event()
+
+    # IMPORTANT: the server pump must be a separate thread from the client
+    # pumps — handling map_fusion_in blocks on client submap RPCs (same
+    # shape as the reference: server node and client nodes are separate
+    # processes; examples/distributed_demo.py does the same with
+    # multiprocessing)
+    def pump_clients():
+        while not stop.is_set():
+            idle = True
+            for svc in svcs:
+                idle &= not svc.step(timeout_ms=0)
+            if idle:
+                time.sleep(0.01)
+
+    def pump_server():
+        while not stop.is_set():
+            if not ss.step(timeout_ms=0):
+                time.sleep(0.01)
+
+    threads = [threading.Thread(target=pump_clients),
+               threading.Thread(target=pump_server)]
+    for t in threads:
+        t.start()
+    try:
+        # generous timeout: the server pump is single-threaded, so a
+        # service call queues behind an in-flight fusion solve (first call
+        # pays jit compiles; the reference keeps services responsive by
+        # running PGO in std::async — coxgraph_server.cpp:471-473)
+        vio = cbus.RemoteVIO(broker, timeout_ms=240_000)
+        # need_to_fuse before any fusion → True
+        assert vio.need_to_fuse(0, 1, 0.0, use_cache=False)
+        # loop closure published on the map_fusion_in topic → fusion runs
+        vio.publish_loop_closure(0, 0.0, 1, 0.0, geo.identity())
+        deadline = time.time() + 20
+        while len(server.submaps) < 2 and time.time() < deadline:
+            time.sleep(0.05)
+        assert len(server.submaps) == 2
+
+        q = vio.state_query()
+        assert q["n_submaps"] == 2 and len(q["aabbs"]) == 2
+
+        # control handoff over the bus
+        vio.control_trigger(False)
+        time.sleep(0.2)
+        assert not server.in_control
+        vio.control_trigger(True)
+
+        # final global mesh service with FilePath semantics
+        ply = str(tmp_path / "m.ply")
+        nv = vio.get_final_global_mesh(ply)
+        assert nv > 50
+        import os
+        assert os.path.exists(ply)
+
+        stamps, poses = vio.get_pose_history(0)
+        assert stamps.shape[0] > 0 and poses.shape[1] == 7
+
+        # client pose-update push: move robot 0's submap locally, push,
+        # server applies it to its copy and rebuilds chain measurements
+        new_pose = geo.from_xyzyaw(jnp.asarray([0.5, 0.0, 0.0, 0.1]))
+        robots[0].apply_pose_updates([(0, new_pose)])
+        robots[0]._published_poses.pop(0)      # force it to count as new
+        svcs[0].publish_pose_updates()
+        deadline = time.time() + 10
+        sid = server.cli_ser[(0, 0)]
+        while time.time() < deadline:
+            if np.allclose(np.asarray(server.submaps[sid].T_cli_submap),
+                           np.asarray(new_pose), atol=1e-6):
+                break
+            time.sleep(0.05)
+        np.testing.assert_allclose(
+            np.asarray(server.submaps[sid].T_cli_submap),
+            np.asarray(new_pose), atol=1e-6)
+
+        # submap mesh push → server MeshCollection
+        h = robots[1].get_submap_by_time(0.0)
+        msg = mesh_comm.encode_submap_mesh(
+            SPEC, h.layer, h.hist_stamps, np.asarray(h.hist_poses),
+            CFG.intrinsics, client_id=1, submap_id=0)
+        svcs[1].publish_submap_mesh(msg)
+        deadline = time.time() + 10
+        while (1, 0) not in server.mesh_collection and \
+                time.time() < deadline:
+            time.sleep(0.05)
+        assert (1, 0) in server.mesh_collection
+        assert server.mesh_collection[(1, 0)].vertices().shape[0] > 0
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()

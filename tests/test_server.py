@@ -181,3 +181,58 @@ def test_distribution_controller(world):
     server.control_trigger(True)
     server.optimize()
     assert len(server.fusion_log) == 1
+
+
+def test_loop_candidate_check_accepts_true_rejects_false(world):
+    """checkLoopClosureCandidates parity (coxgraph_server.cpp:509-512):
+    a true loop closure passes the dense TSDF-agreement gate; a grossly
+    wrong transform fails it. Reference behaviour is warn-and-proceed;
+    rejection is opt-in via reject_bad_candidates."""
+    scene, trajs, X, clients = world
+    server = make_server(list(clients))
+    assert server.map_fusion(true_fusion_msg(trajs, 3, 3))
+    assert server.candidate_log[-1]["ok"], server.candidate_log[-1]
+
+    # a bogus fusion: transform off by 1.5 m — fails the check but is
+    # still applied (reference semantics)
+    bad = fs.MapFusionMsg(
+        from_client=0, from_time=6 * DT, to_client=1, to_time=5 * DT,
+        T_from_to=geo.compose(
+            geo.relative(trajs[0][6], trajs[1][5]),
+            geo.make(jnp.array([1.0, 0, 0, 0]), jnp.array([1.5, 0, 0]))))
+    n_fus = server.constraint_kinds.count("fusion")
+    assert server.map_fusion(bad)
+    assert not server.candidate_log[-1]["ok"], server.candidate_log[-1]
+    # constraint still added (warn-and-proceed), possibly alongside new
+    # submap chain constraints from the freshly pulled submaps
+    assert server.constraint_kinds.count("fusion") == n_fus + 1
+
+    # with rejection enabled the same bogus candidate is dropped
+    scene2, trajs2, X2, clients2 = build_two_clients()
+    server2 = make_server(list(clients2), reject_bad_candidates=True)
+    assert server2.map_fusion(true_fusion_msg(trajs2, 3, 3))
+    bad2 = fs.MapFusionMsg(
+        from_client=0, from_time=6 * DT, to_client=1, to_time=5 * DT,
+        T_from_to=geo.compose(
+            geo.relative(trajs2[0][6], trajs2[1][5]),
+            geo.make(jnp.array([1.0, 0, 0, 0]), jnp.array([1.5, 0, 0]))))
+    n2 = server2.constraint_kinds.count("fusion")
+    assert not server2.map_fusion(bad2)
+    assert server2.constraint_kinds.count("fusion") == n2
+
+
+def test_evaluate_residuals_by_type(world):
+    """evaluateResiduals parity (coxgraph_server.cpp:541-554): residual
+    norms reported per constraint type, small after a good solve."""
+    scene, trajs, X, clients = world
+    server = make_server(list(clients), verbose=True)
+    assert server.map_fusion(true_fusion_msg(trajs, 3, 3))
+    res = server.evaluate_residuals()
+    assert len(res["fusion"]) == server.constraint_kinds.count("fusion")
+    assert len(res["submap_rp"]) == \
+        server.constraint_kinds.count("submap_rp")
+    assert len(res["fusion"]) >= 1
+    assert max(res["fusion"]) < 1.5  # whitened: ~sqrt_info * small error
+    # verbose optimize() embeds the same report in its info dict
+    info = server.optimize()
+    assert "residuals" in info

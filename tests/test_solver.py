@@ -139,3 +139,48 @@ def test_fixed_poses_respected():
                                atol=1e-7)
     np.testing.assert_allclose(np.asarray(res.poses[0]), np.asarray(noisy[0]),
                                atol=1e-7)
+
+
+def test_height_constraints_pin_drifted_z():
+    """Height priors (voxgraph HeightConstraint parity) must correct a
+    chain whose odometry has a systematic z drift: relative constraints
+    alone cannot observe it, absolute z priors can."""
+    n = 6
+    # ground truth: poses along x at z = 0
+    gt = jnp.stack([
+        geo.make(jnp.array([1.0, 0, 0, 0]), jnp.array([float(i), 0.0, 0.0]))
+        for i in range(n)
+    ])
+    # odometry measurements with a +0.2 m/z step bias
+    c = pg.RelPoseConstraints.empty(16)
+    for i in range(n - 1):
+        T_meas = geo.make(jnp.array([1.0, 0, 0, 0]),
+                          jnp.array([1.0, 0.0, 0.2]))
+        c = c.add(i, i + 1, T_meas, sqrt_info=jnp.eye(6) * 0.1)
+    h = pg.HeightConstraints.empty(16)
+    for i in range(n):
+        h = h.add(i, 0.0, stddev=0.01)
+    # start from the drifted dead-reckoned chain
+    drifted = jnp.stack([
+        geo.make(jnp.array([1.0, 0, 0, 0]),
+                 jnp.array([float(i), 0.0, 0.2 * i]))
+        for i in range(n)
+    ])
+    res = pg.optimize(drifted, c, pg.SolverConfig(iterations=25), heights=h)
+    z = np.asarray(jax.vmap(geo.translation)(res.poses))[:, 2]
+    assert np.abs(z).max() < 0.02, z
+    # without the priors the drift persists
+    res0 = pg.optimize(drifted, c, pg.SolverConfig(iterations=25))
+    z0 = np.asarray(jax.vmap(geo.translation)(res0.poses))[:, 2]
+    assert np.abs(z0).max() > 0.15, z0
+
+
+def test_height_constraints_empty_pool_is_noop():
+    gt, rels = chain_poses(5, jax.random.PRNGKey(3))
+    c = pg.RelPoseConstraints.empty(8)
+    for i in range(4):
+        c = c.add(i, i + 1, rels[i])
+    noisy = perturb(gt, jax.random.PRNGKey(4))
+    h = pg.HeightConstraints.empty(4)  # allocated but all-invalid
+    res = pg.optimize(noisy, c, pg.SolverConfig(iterations=20), heights=h)
+    assert float(res.cost) < 1e-8
