@@ -187,49 +187,58 @@ def allocate_and_slots(spec: VoxelGridSpec, flat_index: Array,
                        grid_slots: Array, valid: Array, max_touched: int):
     """Fused allocation + touched-slot compaction over the block grid.
 
-    One pass: scatter the candidate bitmap, then a SINGLE G³ prefix sum
-    ranks both the newly-allocated cells (high 16 bits) and all touched
-    cells (low 16 bits) — both counts are bounded by max_blocks ≪ 2¹⁶.
-    Deriving the touched set from the allocation bitmap (instead of
-    re-looking up the raw candidates like the old touched_block_slots)
-    avoids a million-point gather whose duplicate-heavy addresses
-    serialize the TPU gather unit.
+    One pass: scatter the candidate bitmap, then compact both the
+    newly-allocated cells and all touched cells with top_k partial
+    selection. Earlier formulations ranked cells with a G³ prefix sum and
+    scatter-compacted through G³-sized index vectors; on chip those two
+    scatters cost ~2 ms/frame (XLA lowers big scatters via sort) while
+    two k=max_touched top_k passes are ~10x cheaper. Deriving the touched
+    set from the allocation bitmap (instead of re-looking up the raw
+    candidates) avoids a million-point gather whose duplicate-heavy
+    addresses serialize the TPU gather unit.
     Returns (flat_index, block_coords, num_blocks, slots (K,), mask (K,))."""
     g3 = spec.grid_dim ** 3
     touched = jnp.zeros((g3,), dtype=jnp.bool_)
     touched = touched.at[jnp.where(valid, grid_slots, g3)].set(
         True, mode="drop")
     is_new = touched & (flat_index < 0)
-
-    packed = jnp.cumsum(is_new.astype(jnp.int32) * 65536
-                        + touched.astype(jnp.int32))
-    rank_new = (packed >> 16) - 1          # rank among new cells
-    rank_touch = (packed & 0xFFFF) - 1     # rank among touched cells
-
-    # allocation (allocate_core semantics)
-    slot_id = num_blocks + rank_new
-    can_alloc = is_new & (slot_id < spec.max_blocks)
-    new_flat = jnp.where(can_alloc, slot_id, flat_index)
-    n_new = jnp.minimum((packed[-1] >> 16),
-                        spec.max_blocks - num_blocks)
     cell = jnp.arange(g3, dtype=jnp.int32)
-    cz = cell % spec.grid_dim
-    cy = (cell // spec.grid_dim) % spec.grid_dim
-    cx = cell // (spec.grid_dim * spec.grid_dim)
-    coords_of_cell = jnp.stack([cx, cy, cz], axis=-1) - spec.half_grid
-    pool_target = jnp.where(can_alloc, slot_id, spec.max_blocks)
-    block_coords = block_coords.at[pool_target].set(coords_of_cell,
-                                                    mode="drop")
+
+    # compact the ≤max_touched smallest touched / new cell ids (ascending,
+    # matching the prefix-sum ranking they replace)
+    t_cells = -jax.lax.top_k(jnp.where(touched, -cell, -g3),
+                             max_touched)[0]              # (K,) g3-padded
+    n_cells = -jax.lax.top_k(jnp.where(is_new, -cell, -g3),
+                             max_touched)[0]
+    t_mask = t_cells < g3
+    n_mask = n_cells < g3
+
+    # allocation: consecutive pool slots for new cells, in cell order
+    rank = jnp.cumsum(n_mask.astype(jnp.int32)) - 1
+    slot_id = num_blocks + rank
+    can_alloc = n_mask & (slot_id < spec.max_blocks)
+    # count only slots actually assigned (top_k caps new cells at
+    # max_touched per call; overflow cells stay unallocated and are
+    # picked up by later frames)
+    n_new = jnp.sum(can_alloc.astype(jnp.int32))
+    # small scatters only (K rows, unique targets)
+    new_flat = flat_index.at[jnp.where(can_alloc, n_cells, g3)].set(
+        jnp.where(can_alloc, slot_id, 0), mode="drop")
+    gd = spec.grid_dim
+    ncz = n_cells % gd
+    ncy = (n_cells // gd) % gd
+    ncx = n_cells // (gd * gd)
+    coords_new = jnp.stack([ncx, ncy, ncz], axis=-1) - spec.half_grid
+    block_coords = block_coords.at[
+        jnp.where(can_alloc, slot_id, spec.max_blocks)].set(
+        coords_new, mode="drop")
     num_blocks = num_blocks + n_new
 
-    # touched-slot compaction (live = touched cells with a pool slot; a
-    # touched cell can lack one only when the pool overflowed)
-    live = touched & (new_flat >= 0)
-    tgt = jnp.where(live & (rank_touch < max_touched), rank_touch,
-                    max_touched)
-    slots = jnp.full((max_touched,), spec.max_blocks, jnp.int32)
-    slots = slots.at[tgt].set(new_flat, mode="drop")
-    mask = slots < spec.max_blocks
+    # touched-slot compaction: pool slots of the compacted touched cells
+    # (a touched cell lacks one only when the pool overflowed)
+    slots = new_flat[jnp.minimum(t_cells, g3 - 1)]
+    mask = t_mask & (slots >= 0) & (slots < spec.max_blocks)
+    slots = jnp.where(mask, slots, spec.max_blocks)
     return new_flat, block_coords, num_blocks, slots, mask
 
 

@@ -5,27 +5,37 @@ tsdf_recover.yaml:12).
 Why a kernel: the XLA formulation spends its time in a 4096-wide random
 depth gather per block (duplicate-heavy addresses serialize the vector
 gather unit — two orders of magnitude off the roofline). This kernel
-converts the gather into MXU matmuls:
+converts the gather into MXU matmuls with everything laid out LANE-MAJOR:
 
-  * the depth (and packed-RGB) image is pre-decimated into a 5-level
-    stride pyramid packed into one VMEM-resident atlas;
+  * the depth (and per-channel color) image is pre-decimated into a
+    5-level stride pyramid of bf16 planes packed into one VMEM atlas;
   * per block, the projected pixel bbox picks the finest level whose
     ALIGNED 64x128 tile window covers it (the voxblox "fast" integrator's
     subsampled-ray trade, applied per block);
-  * the per-voxel depth fetch becomes one-hot contractions on the MXU
-    (cand = onehot_u @ tile-transposed, then a VPU row-select) — exact
-    selects, zero scattered memory traffic. Inputs are split hi/lo into
-    bf16 pairs/triples so the MXU runs at bf16 rate with near-f32-exact
-    results: depth = hi + lo (~0.1 mm error at 10 m); the 24-bit packed
-    RGB splits exactly into three 8-bit bf16 planes.
+  * per-voxel projection math runs for ALL GROUP blocks at once on
+    (GROUP, v3) arrays — full 8-sublane utilization. (The first kernel
+    generation computed it per block on (v3,) 1-D vectors, which Mosaic
+    lays out on a single sublane: 1/8 the VPU rate. Measured on chip,
+    that inefficiency was ~60% of the kernel's runtime.);
+  * the per-voxel fetch is a TRANSPOSED one-hot contraction: the one-hot
+    is built directly in (TILE_W, v3) orientation by comparing a sublane
+    iota against the lane-vector of voxel pixel-columns (no transpose or
+    1-D↔2-D relayout, which Mosaic cannot lower), and all 5 planes
+    [depth_hi, depth_lo, r, g, b] ride ONE MXU matmul
+    (5·TILE_H, TILE_W) @ (TILE_W, v3), followed by a shared row-select
+    against the (TILE_H, v3) transposed row-one-hot.
 
-Per grid step the kernel processes GROUP=8 blocks in a fori_loop (Mosaic
-reuses the loop body's VMEM; an unrolled loop would keep 8 copies of the
-one-hot alive and overflow VMEM), merging per-block results into small
-(GROUP, v3) carries, then applies the TSDF running-average update
-vectorized over all GROUP rows. Pool rows are gathered/scattered XLA-side
-(row DMA is fast there); color arrives in PLANAR channel layout so every
-in-kernel slice is static.
+Depth splits hi/lo into bf16 so the MXU runs at bf16 rate with ~f32
+results (hi + lo ≈ 0.1 mm at 10 m); color channels are single bf16
+planes (exact to ±1 LSB above 128 — ≤0.4% — since each channel is
+selected separately, no packed-integer exactness is needed).
+
+Per grid step the kernel processes GROUP=8 blocks; the per-block loop
+only does one-hot builds + the stacked matmul + row-select, merging each
+block's selected values into (GROUP, v3) accumulators; the TSDF
+running-average update then applies vectorized over all GROUP rows. Pool
+rows are gathered/scattered XLA-side (row DMA is fast there); color
+arrives in PLANAR channel layout so every in-kernel slice is static.
 """
 
 from __future__ import annotations
@@ -47,6 +57,7 @@ TILE_H = 64        # tile rows (window aligned to 8 sublanes)
 TILE_W = 128       # tile lanes (window aligned to 128 lanes)
 LEVELS = 5         # stride pyramid 1,2,4,8,16
 GROUP = 8          # blocks per grid step (TPU block-dim-0 granularity)
+PLANES = 5         # [depth_hi, depth_lo, r, g, b]
 
 
 def _pyramid_layout(intr: PinholeIntrinsics):
@@ -65,47 +76,37 @@ def _pyramid_layout(intr: PinholeIntrinsics):
 
 
 def build_atlases(intr: PinholeIntrinsics, depth: Array,
-                  color: Optional[Array]) -> Tuple[Array, Array]:
-    """Depth (H,W) + color (H,W,3)|None → (atlas_d, atlas_c), each
-    (total_rows, max(W,TILE_W)) f32. Level l is the stride-2^l subsample
-    (top-left aligned); cells beyond a level's extent stay 0 (= invalid
-    depth). Color is packed r*2^16+g*2^8+b (exact below 2^24)."""
+                  color: Optional[Array]) -> Array:
+    """Depth (H,W) + color (H,W,3)|None → stacked plane atlas
+    (PLANES, total_rows, max(W,TILE_W)) bf16 = [d_hi, d_lo, r, g, b].
+    Level l is the stride-2^l subsample (top-left aligned); cells beyond
+    a level's extent stay 0 (= invalid depth / black). Color channels are
+    0..255 floats (bf16: exact to ±1 LSB above 128)."""
     offs, ws, hs, rows = _pyramid_layout(intr)
     aw = max(intr.width, TILE_W)
+
+    # one 4-channel cascade [depth, r, g, b] written into a preallocated
+    # atlas via static dynamic_update_slice (5 separate per-plane
+    # pad+concat pyramids cost ~6 ms/frame on chip; this is <1 ms)
     if color is None:
-        packed = jnp.zeros_like(depth)
+        chans = jnp.stack([depth, jnp.zeros_like(depth),
+                           jnp.zeros_like(depth), jnp.zeros_like(depth)])
     else:
         c8 = jnp.clip(jnp.round(color * 255.0), 0, 255).astype(jnp.float32)
-        packed = c8[..., 0] * 65536.0 + c8[..., 1] * 256.0 + c8[..., 2]
+        chans = jnp.concatenate([depth[None], jnp.moveaxis(c8, -1, 0)])
 
-    def pyramid(img):
-        parts = []
-        lvl = img
-        for l in range(LEVELS):
-            h, w = lvl.shape
-            pad_h = (offs[l + 1] - offs[l] if l + 1 < LEVELS
-                     else rows - offs[l]) - h
-            parts.append(jnp.pad(lvl, ((0, pad_h), (0, aw - w))))
-            lvl = lvl[::2, ::2]   # cascade: each level from the previous
-        return jnp.concatenate(parts, axis=0)
+    from .tsdf import decimate
 
-    return pyramid(depth), pyramid(packed)
+    atlas4 = jnp.zeros((4, rows, aw), jnp.float32)
+    lvl = chans
+    for l in range(LEVELS):
+        atlas4 = jax.lax.dynamic_update_slice(atlas4, lvl, (0, offs[l], 0))
+        lvl = decimate(lvl, 2)   # cascade: each level from the previous
 
-
-def _split_hi_lo(x):
-    """f32 → (hi, lo) bf16 pair with hi + lo ~= x to ~16-bit mantissa."""
-    hi = x.astype(jnp.bfloat16)
-    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
-
-
-def _select_matmul(ohu_bf, tile_bf, ohv):
-    """cand = ohu @ tile^T on the MXU (bf16 in, f32 out), then row-select:
-    → (v3,) f32 values tile[lv_n, lu_n]."""
-    cand = jax.lax.dot_general(
-        ohu_bf, tile_bf, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)          # (v3, TILE_H)
-    return jnp.sum(ohv * cand, axis=1)
+    d_hi = atlas4[0].astype(jnp.bfloat16)
+    d_lo = (atlas4[0] - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([d_hi[None], d_lo[None],
+                            atlas4[1:].astype(jnp.bfloat16)])
 
 
 def _kernel(spec: vx.VoxelGridSpec, cfg, intr: PinholeIntrinsics,
@@ -113,101 +114,86 @@ def _kernel(spec: vx.VoxelGridSpec, cfg, intr: PinholeIntrinsics,
             params_ref,
             # tensor inputs (coords/tiles ride in VMEM blocks — K can be
             # thousands, which would overflow SMEM as scalar prefetch)
-            coords_ref, tiles_ref,
-            atlas_d_ref, atlas_c_ref, sdf_ref, w_ref, c_ref,
+            coords_ref, tiles_ref, atlas_ref,
+            sdf_ref, w_ref, c_ref,
             # outputs
             out_sdf_ref, out_w_ref, out_c_ref):
-    g = pl.program_id(0)
     v = spec.voxels_per_side
     v3 = v * v * v
     tau = spec.truncation
-
-    idx = jax.lax.broadcasted_iota(jnp.int32, (v3, 1), 0).squeeze(-1)
-    ix = idx // (v * v)
-    iy = (idx // v) % v
-    iz = idx % v
     vs = spec.voxel_size
     P = params_ref
     fx, fy, cxp, cyp = P[12], P[13], P[14], P[15]
-    row_sel = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0)
 
-    def body(j, carry):
-        D, CPK, Z, VAL = carry
-        # tile spec precomputed XLA-side from block-corner projections
-        # (tiles = [lvl, atlas_row0, v0, u0, alive]): keeps the kernel
-        # free of per-block scalar reductions, which dominate otherwise
-        lvl = tiles_ref[j, 0]
-        aro = tiles_ref[j, 1]
-        v0 = tiles_ref[j, 2]
-        u0 = tiles_ref[j, 3]
-        alive = tiles_ref[j, 4] > 0
+    # ---- per-voxel lattice: (1, v3) lane vectors (hoisted, static) --------
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, v3), 1)
+    ix = idx // (v * v)
+    iy = (idx // v) % v
+    iz = idx % v
 
-        def compute(_):
-            bx = coords_ref[j, 0]
-            by = coords_ref[j, 1]
-            bz = coords_ref[j, 2]
-            px = (bx * v + ix).astype(jnp.float32) * vs + 0.5 * vs
-            py = (by * v + iy).astype(jnp.float32) * vs + 0.5 * vs
-            pz = (bz * v + iz).astype(jnp.float32) * vs + 0.5 * vs
-            cx_ = P[0] * px + P[1] * py + P[2] * pz + P[9]
-            cy_ = P[3] * px + P[4] * py + P[5] * pz + P[10]
-            z = P[6] * px + P[7] * py + P[8] * pz + P[11]
-            zs = jnp.maximum(z, 1e-6)
-            uf = jnp.clip(cx_ / zs * fx + cxp, -1e6, 1e6)
-            vf = jnp.clip(cy_ / zs * fy + cyp, -1e6, 1e6)
-            ui = jnp.round(uf).astype(jnp.int32)
-            vi = jnp.round(vf).astype(jnp.int32)
-            in_img = ((z > cfg.min_range)
-                      & (ui >= 0) & (ui < intr.width)
-                      & (vi >= 0) & (vi < intr.height))
+    # ---- per-block scalars as (GROUP, 1) sublane columns ------------------
+    BX = coords_ref[:, 0:1]
+    BY = coords_ref[:, 1:2]
+    BZ = coords_ref[:, 2:3]
+    LVL = tiles_ref[:, 0:1]
+    V0 = tiles_ref[:, 2:3]
+    U0 = tiles_ref[:, 3:4]
+    ALIVE = tiles_ref[:, 4:5] > 0
 
-            row0 = pl.multiple_of(aro, 8)
-            col0 = pl.multiple_of(u0, 128)
-            tile_d = atlas_d_ref[pl.ds(row0, TILE_H), pl.ds(col0, TILE_W)]
-            tile_c = atlas_c_ref[pl.ds(row0, TILE_H), pl.ds(col0, TILE_W)]
+    # ---- projection for ALL GROUP blocks at once: (GROUP, v3) -------------
+    # (full sublane utilization — per-block (v3,) vectors run 8x slower)
+    px = (BX * v + ix).astype(jnp.float32) * vs + 0.5 * vs
+    py = (BY * v + iy).astype(jnp.float32) * vs + 0.5 * vs
+    pz = (BZ * v + iz).astype(jnp.float32) * vs + 0.5 * vs
+    cx_ = P[0] * px + P[1] * py + P[2] * pz + P[9]
+    cy_ = P[3] * px + P[4] * py + P[5] * pz + P[10]
+    Z = P[6] * px + P[7] * py + P[8] * pz + P[11]
+    zs = jnp.maximum(Z, 1e-6)
+    uf = jnp.clip(cx_ / zs * fx + cxp, -1e6, 1e6)
+    vf = jnp.clip(cy_ / zs * fy + cyp, -1e6, 1e6)
+    ui = jnp.round(uf).astype(jnp.int32)
+    vi = jnp.round(vf).astype(jnp.int32)
+    IN = ((Z > cfg.min_range)
+          & (ui >= 0) & (ui < intr.width)
+          & (vi >= 0) & (vi < intr.height) & ALIVE)
+    LU = jnp.where(IN, (ui >> LVL) - U0, -1)      # pixel col in tile
+    LV = jnp.where(IN, (vi >> LVL) - V0, -1)      # pixel row in tile
 
-            lu = jnp.where(in_img, (ui >> lvl) - u0, -1)
-            lv = jnp.where(in_img, (vi >> lvl) - v0, -1)
-            lane_w = jax.lax.broadcasted_iota(jnp.int32, (v3, TILE_W), 1)
-            lane_h = jax.lax.broadcasted_iota(jnp.int32, (v3, TILE_H), 1)
-            ohu = (lu[:, None] == lane_w).astype(jnp.bfloat16)  # (v3,Tw)
-            ohv = (lv[:, None] == lane_h).astype(jnp.float32)   # (v3,Th)
+    # ---- per-block transposed one-hot selects -----------------------------
+    sub_w = jax.lax.broadcasted_iota(jnp.int32, (TILE_W, v3), 0)
+    sub_h = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_H, v3), 1)
+    rowsel = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0)
 
-            # depth: hi/lo bf16 split (~16-bit mantissa, ~0.1 mm at 10 m)
-            d_hi, d_lo = _split_hi_lo(tile_d)
-            d = (_select_matmul(ohu, d_hi, ohv)
-                 + _select_matmul(ohu, d_lo, ohv))
-            # packed RGB: exact 3-way split into 8-bit bf16 planes
-            c_hi = jnp.floor(tile_c / 65536.0)
-            rem = tile_c - c_hi * 65536.0
-            c_mid = jnp.floor(rem / 256.0)
-            c_lo = rem - c_mid * 256.0
-            cr = _select_matmul(ohu, c_hi.astype(jnp.bfloat16), ohv)
-            cg = _select_matmul(ohu, c_mid.astype(jnp.bfloat16), ohv)
-            cb = _select_matmul(ohu, c_lo.astype(jnp.bfloat16), ohv)
-            cpk = cr * 65536.0 + cg * 256.0 + cb
-            return d, cpk, z, in_img.astype(jnp.float32)
-
-        def skip(_):
-            zz = jnp.zeros((v3,), jnp.float32)
-            return zz, zz, zz, zz
-
-        d, cpk, z, val = jax.lax.cond(alive, compute, skip, 0)
-
-        hit = row_sel == j                                  # (GROUP,1)
-        D = jnp.where(hit, d[None, :], D)
-        CPK = jnp.where(hit, cpk[None, :], CPK)
-        Z = jnp.where(hit, z[None, :], Z)
-        VAL = jnp.where(hit, val[None, :], VAL)
-        return D, CPK, Z, VAL
+    def body(j, acc):
+        D, CR, CG, CB = acc
+        hit = rowsel == j                                    # (GROUP,1)
+        lu_j = jnp.sum(jnp.where(hit, LU, 0), axis=0, keepdims=True)
+        lv_j = jnp.sum(jnp.where(hit, LV, 0), axis=0, keepdims=True)
+        row0 = pl.multiple_of(tiles_ref[j, 1], 8)
+        col0 = pl.multiple_of(tiles_ref[j, 3], 128)
+        tile = jnp.concatenate(
+            [atlas_ref[p, pl.ds(row0, TILE_H), pl.ds(col0, TILE_W)]
+             for p in range(PLANES)], axis=0)      # (PLANES·Th, Tw) bf16
+        # one-hots built directly transposed: sublane iota vs lane vector
+        ohuT = (sub_w == lu_j).astype(jnp.bfloat16)          # (Tw, v3)
+        ohvT = (sub_h == lv_j[None]).astype(jnp.float32)     # (1, Th, v3)
+        cand = jax.lax.dot_general(
+            tile, ohuT, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)    # (PLANES·Th, v3)
+        sel5 = jnp.sum(cand.reshape(PLANES, TILE_H, v3) * ohvT, axis=1)
+        hitf = hit.astype(jnp.float32)
+        D = D + (sel5[0] + sel5[1])[None, :] * hitf
+        CR = CR + sel5[2][None, :] * hitf
+        CG = CG + sel5[3][None, :] * hitf
+        CB = CB + sel5[4][None, :] * hitf
+        return D, CR, CG, CB
 
     zeros = jnp.zeros((GROUP, v3), jnp.float32)
-    D, CPK, Z, VAL = jax.lax.fori_loop(
-        0, GROUP, body, (zeros, zeros, zeros, zeros))
+    D, CR, CG, CB = jax.lax.fori_loop(0, GROUP, body,
+                                      (zeros, zeros, zeros, zeros))
 
     # ---- vectorized TSDF update over all GROUP rows ------------------------
-    in_img = VAL > 0.5
-    has_depth = in_img & (D > cfg.min_range) & (D < cfg.max_range)
+    has_depth = IN & (D > cfg.min_range) & (D < cfg.max_range)
     sdf = D - Z
     observed = has_depth & (sdf > -tau)
     w_obs = jnp.ones_like(sdf)
@@ -215,7 +201,6 @@ def _kernel(spec: vx.VoxelGridSpec, cfg, intr: PinholeIntrinsics,
         w_obs = w_obs / jnp.maximum(D * D, 1.0)
     if cfg.use_dropoff:
         w_obs = w_obs * jnp.clip((sdf + tau) / (0.5 * tau), 0.0, 1.0)
-    # dead blocks already produced VAL = 0 in the loop
     w_obs = jnp.where(observed, w_obs, 0.0)
     sdf_obs = jnp.clip(sdf, -tau, tau)
 
@@ -229,13 +214,10 @@ def _kernel(spec: vx.VoxelGridSpec, cfg, intr: PinholeIntrinsics,
     out_sdf_ref[...] = new_sdf
     out_w_ref[...] = new_w
 
-    # color (PLANAR rows: [r(v3), g(v3), b(v3)]): unpack the packed pixel,
-    # weighted-average near the surface
+    # color (PLANAR rows: [r(v3), g(v3), b(v3)]): weighted-average near
+    # the surface; channels were selected separately (no unpacking)
     near = w_obs * (jnp.abs(sdf) < tau)
-    cr = jnp.floor(CPK / 65536.0)
-    cg = jnp.floor((CPK - cr * 65536.0) / 256.0)
-    cb = CPK - cr * 65536.0 - cg * 256.0
-    for ch, img_ch in enumerate((cr, cg, cb)):
+    for ch, img_ch in enumerate((CR, CG, CB)):
         oc = c_ref[:, ch * v3:(ch + 1) * v3]
         nc = jnp.where(new_w > 0,
                        (old_w * oc + near * (img_ch / 255.0)) / denom, oc)
@@ -293,13 +275,14 @@ def compute_tile_specs(spec: vx.VoxelGridSpec, cfg,
                    static_argnames=("spec", "cfg", "intr", "interpret"))
 def tsdf_update_blocks(spec: vx.VoxelGridSpec, cfg, intr: PinholeIntrinsics,
                        coords: Array, tiles: Array, params: Array,
-                       atlas_d: Array, atlas_c: Array,
+                       atlas: Array,
                        old_sdf: Array, old_w: Array, old_c_planar: Array,
                        interpret: bool = False):
     """Run the block-update kernel over K touched blocks.
 
     coords (K,3) int32 block coords; tiles (K,5) from compute_tile_specs;
     params (16,) f32 = [R row-major(9), t(3), fx, fy, cx, cy];
+    atlas (PLANES, rows, aw) bf16 from build_atlases;
     old_sdf/old_w (K, v3); old_c_planar (K, 3*v3) channel-major.
     → (new_sdf, new_w, new_c_planar).
     """
@@ -315,9 +298,7 @@ def tsdf_update_blocks(spec: vx.VoxelGridSpec, cfg, intr: PinholeIntrinsics,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((GROUP, 5), lambda i, p: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(atlas_d.shape, lambda i, p: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(atlas_c.shape, lambda i, p: (0, 0),
+            pl.BlockSpec(atlas.shape, lambda i, p: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((GROUP, v3), lambda i, p: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -340,12 +321,11 @@ def tsdf_update_blocks(spec: vx.VoxelGridSpec, cfg, intr: PinholeIntrinsics,
         kern,
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         out_shape=[
             jax.ShapeDtypeStruct((K, v3), jnp.float32),
             jax.ShapeDtypeStruct((K, v3), jnp.float32),
             jax.ShapeDtypeStruct((K, v3 * 3), jnp.float32),
         ],
         interpret=interpret,
-    )(params, coords, tiles,
-      atlas_d, atlas_c, old_sdf, old_w, old_c_planar)
+    )(params, coords, tiles, atlas, old_sdf, old_w, old_c_planar)

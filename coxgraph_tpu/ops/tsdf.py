@@ -51,10 +51,13 @@ class TsdfIntegratorConfig:
     max_weight: float = 1.0e4
     max_touched_blocks: int = 2048
     alloc_band_samples: int = 3     # depth samples across the trunc band
-    alloc_stride: int = 2           # pixel stride of the allocation pass
-    #  (a block spans ≥16 voxels ≈ many pixels; stride-2 sampling cannot
-    #   miss one and cuts the allocation pass 4x — the voxblox "fast"
-    #   integrator makes the same trade with subsampled rays)
+    alloc_stride: int = 4           # pixel stride of the allocation pass
+    #  (a block spans ≥16 voxels ≈ many pixels — ~40 px even at 10 m
+    #   range with 5 cm voxels — so stride-4 sampling cannot miss one and
+    #   cuts the allocation-pass candidate count 16x; the voxblox "fast"
+    #   integrator makes the same trade with subsampled rays. The
+    #   candidate count drives the touched-bitmap scatter, which XLA
+    #   lowers via sort.)
     use_dropoff: bool = True        # linear weight drop-off behind surface
     use_distance_weight: bool = True  # 1/z² observation weighting
     update_chunk_blocks: int = 512  # blocks per update dispatch
@@ -73,6 +76,66 @@ def _backproject(intr: PinholeIntrinsics, depth: Array) -> Array:
     x = (uu - intr.cx) / intr.fx * depth
     y = (vv - intr.cy) / intr.fy * depth
     return jnp.stack([x, y, depth], axis=-1)
+
+
+def decimate(img: Array, st: int) -> Array:
+    """Top-left stride-``st`` decimation of the last two dims via
+    reshape+static-slice. A plain ``img[::2, ::2]`` lowers to a
+    lane-shuffle gather costing ~0.6 ms/frame on chip at 640x480; the
+    reshape form is free."""
+    if st == 1:
+        return img
+    H, W = img.shape[-2:]
+    ph, pw = (-H) % st, (-W) % st
+    if ph or pw:
+        img = jnp.pad(img, [(0, 0)] * (img.ndim - 2) + [(0, ph), (0, pw)])
+    s = img.shape[:-2]
+    img = img.reshape(s + ((H + ph) // st, st, (W + pw) // st, st))
+    return img[..., :, 0, :, 0]
+
+
+def _alloc_candidates_soa(spec: vx.VoxelGridSpec, cfg: TsdfIntegratorConfig,
+                          intr: PinholeIntrinsics, depth: Array,
+                          T_sm_cam: Array):
+    """Pass-1 candidate block slots, structure-of-arrays form →
+    (grid_slots (N,), valid (N,)).
+
+    Every step runs on (B,h,w) component arrays. A (...,3)-trailing
+    candidate array would make XLA tile the 3-wide minor dim padded to
+    128 lanes (42x VPU/memory waste) — measured ~2.4 ms/frame for the
+    AoS formulation vs ~0.3 ms for this one."""
+    st = cfg.alloc_stride
+    d_s = decimate(depth, st)
+    valid_s = (d_s > cfg.min_range) & (d_s < cfg.max_range)
+    ks = jnp.linspace(-spec.truncation, spec.truncation,
+                      cfg.alloc_band_samples)
+    d_samples = d_s[None] + ks[:, None, None]              # (B,h,w)
+    u = (jnp.arange(intr.width, dtype=jnp.float32)[::st]
+         - intr.cx) / intr.fx
+    v = (jnp.arange(intr.height, dtype=jnp.float32)[::st]
+         - intr.cy) / intr.fy
+    dx = u[None, None, :] * d_samples
+    dy = v[None, :, None] * d_samples
+    R = geo.quat_to_matrix(T_sm_cam[:4])
+    t = T_sm_cam[4:7]
+    px = R[0, 0] * dx + R[0, 1] * dy + R[0, 2] * d_samples + t[0]
+    py = R[1, 0] * dx + R[1, 1] * dy + R[1, 2] * d_samples + t[1]
+    pz = R[2, 0] * dx + R[2, 1] * dy + R[2, 2] * d_samples + t[2]
+    inv = 1.0 / spec.voxel_size
+    vps = spec.voxels_per_side
+    bx = jnp.floor_divide(jnp.floor(px * inv).astype(jnp.int32), vps)
+    by = jnp.floor_divide(jnp.floor(py * inv).astype(jnp.int32), vps)
+    bz = jnp.floor_divide(jnp.floor(pz * inv).astype(jnp.int32), vps)
+    h = spec.half_grid
+    gd = spec.grid_dim
+    in_grid = ((bx >= -h) & (bx < h) & (by >= -h) & (by < h)
+               & (bz >= -h) & (bz < h))
+    gx = jnp.clip(bx + h, 0, gd - 1)
+    gy = jnp.clip(by + h, 0, gd - 1)
+    gz = jnp.clip(bz + h, 0, gd - 1)
+    grid_slots = (gx * gd + gy) * gd + gz
+    valid = (valid_s[None] & (d_samples > cfg.min_range) & in_grid)
+    return grid_slots.reshape(-1), valid.reshape(-1)
 
 
 def touched_block_slots(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
@@ -127,22 +190,9 @@ def integrate_frame_stacked_impl(spec: vx.VoxelGridSpec,
     v = spec.voxels_per_side
     base = k * mb
 
-    # ---- pass 1: allocation (small arrays only) ---------------------------
-    st = cfg.alloc_stride
-    d_s = depth[::st, ::st]
-    valid_s = (d_s > cfg.min_range) & (d_s < cfg.max_range)
-    ks = jnp.linspace(-spec.truncation, spec.truncation,
-                      cfg.alloc_band_samples)
-    d_samples = d_s[None, ...] + ks[:, None, None]            # (B,h,w)
-    dirs = _backproject(intr, jnp.ones_like(depth))[::st, ::st]
-    pts_cam = dirs[None, ...] * d_samples[..., None]          # (B,h,w,3)
-    pts_sm = geo.transform_points(T_sm_cam, pts_cam)
-    cand_blocks, _ = vx.voxel_to_block(spec, vx.point_to_voxel(spec, pts_sm))
-    cand_blocks = cand_blocks.reshape(-1, 3)
-    cand_valid = (jnp.broadcast_to(valid_s[None], d_samples.shape)
-                  & (d_samples > cfg.min_range)).reshape(-1)
-    grid_slots = vx.block_grid_slot(spec, cand_blocks)
-    cand_valid = cand_valid & vx.block_in_grid(spec, cand_blocks)
+    # ---- pass 1: allocation (small arrays only, SoA layout) ---------------
+    grid_slots, cand_valid = _alloc_candidates_soa(spec, cfg, intr, depth,
+                                                   T_sm_cam)
 
     K = min(cfg.max_touched_blocks, mb)
     bi_k, bc_k, nb_k, slots, slot_mask = vx.allocate_and_slots(
@@ -185,7 +235,7 @@ def _update_pallas(spec, cfg, intr, layers, base, bc_k, slots, slot_mask,
         slot_mask = jnp.pad(slot_mask, (0, pad))
         K += pad
 
-    atlas_d, atlas_c = pallas_tsdf.build_atlases(intr, depth, color)
+    atlas = pallas_tsdf.build_atlases(intr, depth, color)
     R = geo.quat_to_matrix(T_cam_sm[:4])
     params = jnp.concatenate([
         R.reshape(9), T_cam_sm[4:7],
@@ -204,7 +254,7 @@ def _update_pallas(spec, cfg, intr, layers, base, bc_k, slots, slot_mask,
     tiles = pallas_tsdf.compute_tile_specs(spec, cfg, intr, coords,
                                            slot_mask, params)
     new_sdf, new_w, new_c_planar = pallas_tsdf.tsdf_update_blocks(
-        spec, cfg, intr, coords, tiles, params, atlas_d, atlas_c,
+        spec, cfg, intr, coords, tiles, params, atlas,
         old_sdf, old_w, old_c_planar)
 
     new_c = jnp.swapaxes(new_c_planar.reshape(K, 3, v3), 1, 2).reshape(

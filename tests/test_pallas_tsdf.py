@@ -17,19 +17,21 @@ CFG = tsdf_ops.TsdfIntegratorConfig(max_touched_blocks=64)
 
 
 def test_pyramid_atlas_layout():
-    atlas_d, atlas_c = pallas_tsdf.build_atlases(
+    atlas = pallas_tsdf.build_atlases(
         INTR, jnp.full((60, 80), 2.0), jnp.full((60, 80, 3), 0.5))
     offs, ws, hs, rows = pallas_tsdf._pyramid_layout(INTR)
-    assert atlas_d.shape == (rows, max(80, pallas_tsdf.TILE_W))
-    d = np.asarray(atlas_d)
+    assert atlas.shape == (pallas_tsdf.PLANES, rows,
+                           max(80, pallas_tsdf.TILE_W))
+    # depth = hi + lo planes
+    d = np.asarray(atlas[0], np.float32) + np.asarray(atlas[1], np.float32)
     for l in range(pallas_tsdf.LEVELS):
         lvl = d[offs[l]:offs[l] + hs[l], :ws[l]]
         np.testing.assert_allclose(lvl, 2.0)
         # zero padding beyond each level's width (invalid depth)
         assert (d[offs[l]:offs[l] + hs[l], ws[l]:] == 0).all()
-    # packed color: 0.5 -> 128 per channel
-    c = np.asarray(atlas_c)[0, 0]
-    assert c == 128 * 65536 + 128 * 256 + 128
+    # color channels: 0.5 -> 128 (exact in bf16)
+    for p in range(2, 5):
+        assert float(atlas[p, 0, 0]) == 128.0
 
 
 def test_kernel_matches_xla_update_interpret():
@@ -45,19 +47,9 @@ def test_kernel_matches_xla_update_interpret():
                                       use_pallas=False),
         INTR, layer, depth, color, T)
 
-    # run pass 1 again to get the same slots, then the kernel in interpret
-    st = 2
-    d_s = depth[::st, ::st]
-    ks = jnp.linspace(-SPEC.truncation, SPEC.truncation, 3)
-    d_samples = d_s[None] + ks[:, None, None]
-    dirs = tsdf_ops._backproject(INTR, jnp.ones_like(depth))[::st, ::st]
-    pts = geo.transform_points(T, dirs[None] * d_samples[..., None])
-    cb, _ = vx.voxel_to_block(SPEC, vx.point_to_voxel(SPEC, pts))
-    cb = cb.reshape(-1, 3)
-    cv = ((jnp.broadcast_to((d_s > 0.1) & (d_s < 10.0), d_samples.shape)
-           & (d_samples > 0.1)).reshape(-1)
-          & vx.block_in_grid(SPEC, cb))
-    gs = vx.block_grid_slot(SPEC, cb)
+    # run the production pass 1 again to get the same slots, then the
+    # kernel in interpret mode
+    gs, cv = tsdf_ops._alloc_candidates_soa(SPEC, CFG, INTR, depth, T)
     base = vx.create_tsdf_layer(SPEC)
     bi, bc, nb, slots, mask = vx.allocate_and_slots(
         SPEC, base.block_index.reshape(-1), base.block_coords,
@@ -65,7 +57,7 @@ def test_kernel_matches_xla_update_interpret():
     slots = jnp.minimum(slots, SPEC.max_blocks - 1)
 
     v3 = SPEC.voxels_per_side ** 3
-    atlas_d, atlas_c = pallas_tsdf.build_atlases(INTR, depth, color)
+    atlas = pallas_tsdf.build_atlases(INTR, depth, color)
     R = geo.quat_to_matrix(geo.inverse(T)[:4])
     Tc = geo.inverse(T)
     params = jnp.concatenate([
@@ -76,7 +68,7 @@ def test_kernel_matches_xla_update_interpret():
     tiles = pallas_tsdf.compute_tile_specs(SPEC, CFG, INTR, bc[slots],
                                            mask, params)
     new_sdf, new_w, new_cp = pallas_tsdf.tsdf_update_blocks(
-        SPEC, CFG, INTR, bc[slots], tiles, params, atlas_d, atlas_c,
+        SPEC, CFG, INTR, bc[slots], tiles, params, atlas,
         old, jnp.zeros((64, v3)), oldc, interpret=True)
 
     # compare against the XLA integrator's result on the same blocks
