@@ -66,9 +66,9 @@ def deserialize_layer(spec: vx.VoxelGridSpec, buf: bytes) -> vx.TsdfLayer:
     assert v == spec.voxels_per_side, "voxels_per_side mismatch"
     assert abs(vsz.value - spec.voxel_size) < 1e-6, "voxel_size mismatch"
     coords = np.empty((n, 3), np.int32)
-    sdf = np.empty((n, v, v, v), np.float32)
-    w = np.empty((n, v, v, v), np.float32)
-    c = np.empty((n, v, v, v, 3), np.float32)
+    sdf = np.empty((n, v * v * v), np.float32)   # flat rows, like the pool
+    w = np.empty((n, v * v * v), np.float32)
+    c = np.empty((n, 3 * v * v * v), np.float32)  # planar channel rows
     rc = L.cox_deserialize(b.ctypes.data, len(buf), coords.ctypes.data,
                            sdf.ctypes.data, w.ctypes.data, c.ctypes.data)
     if rc != 0:

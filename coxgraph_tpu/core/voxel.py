@@ -4,8 +4,10 @@ The reference stores voxels in hash-indexed 16³ blocks
 (voxblox ``Layer<TsdfVoxel>``; used at e.g. map_server.h:88-94,
 msg_converter.h:48-50). A CPU hash map does not jit, so the TPU design is:
 
-  * a fixed-capacity **block pool**: dense arrays ``(max_blocks, vps, vps,
-    vps)`` for sdf / weight / color — scatter-updated in place under jit;
+  * a fixed-capacity **block pool**: dense FLAT arrays ``(max_blocks,
+    vps³)`` for sdf / weight (color: ``(max_blocks, 3·vps³)`` planar) —
+    scatter-updated in place under jit; flat rows keep XLA's tiled
+    layouts copy-free on every jit/scan boundary (see TsdfLayer);
   * a dense **block index grid** ``(G, G, G) int32`` mapping quantized block
     coordinates to pool slots (-1 = unallocated). With 16-voxel blocks at
     0.05–0.10 m voxels a 64³ grid spans 51–102 m — ample for the reference's
@@ -56,7 +58,17 @@ class VoxelGridSpec:
 class TsdfLayer:
     """Block-sparse TSDF volume (pytree of arrays).
 
-    sdf/weight: (max_blocks, vps, vps, vps) f32; color: (..., 3) f32 in [0,1].
+    sdf/weight: (max_blocks, vps³) f32, FLAT voxel rows in C-order
+    (ix·vps² + iy·vps + iz). color: (max_blocks, 3·vps³) f32 in [0,1],
+    channel-PLANAR rows [r(vps³), g, b]. The pools are stored flat because
+    layouts: a canonical (mb, vps, vps, vps) pool tiles its (vps, vps)
+    minor dims — at vps=16 the 16-lane minor pads to 128 (8x HBM) and
+    every reshape to the flat rows the frame kernel consumes becomes a
+    full-pool relayout copy (measured ~7 ms/frame at reference scale: the
+    dominant frame cost). A (..., 3)-trailing color pool is worse (42x).
+    Spatially-indexed consumers (mesher, ESDF, merge) reshape gathered
+    rows or whole pools to (.., vps, vps, vps) views locally at
+    control rate.
     block_index: (G,G,G) int32 pool slot or -1.
     block_coords: (max_blocks, 3) int32 quantized block coordinate per slot.
     num_blocks: () int32 — pool watermark (slots [0, num_blocks) are live).
@@ -75,15 +87,15 @@ class TsdfLayer:
 
     @property
     def voxels_per_side(self) -> int:
-        return self.sdf.shape[1]
+        return round(self.sdf.shape[1] ** (1.0 / 3.0))
 
 
 def create_tsdf_layer(spec: VoxelGridSpec, dtype=jnp.float32) -> TsdfLayer:
     mb, v, g = spec.max_blocks, spec.voxels_per_side, spec.grid_dim
     return TsdfLayer(
-        sdf=jnp.full((mb, v, v, v), spec.truncation, dtype=dtype),
-        weight=jnp.zeros((mb, v, v, v), dtype=dtype),
-        color=jnp.zeros((mb, v, v, v, 3), dtype=dtype),
+        sdf=jnp.full((mb, v * v * v), spec.truncation, dtype=dtype),
+        weight=jnp.zeros((mb, v * v * v), dtype=dtype),
+        color=jnp.zeros((mb, 3 * v * v * v), dtype=dtype),
         block_index=jnp.full((g, g, g), -1, dtype=jnp.int32),
         block_coords=jnp.zeros((mb, 3), dtype=jnp.int32),
         num_blocks=jnp.zeros((), dtype=jnp.int32),
@@ -285,8 +297,10 @@ def voxel_lookup(spec: VoxelGridSpec, layer: TsdfLayer, v: Array):
     b, l = voxel_to_block(spec, v)
     idx = lookup_block(spec, layer, b)
     safe = jnp.maximum(idx, 0)
-    sdf = layer.sdf[safe, l[..., 0], l[..., 1], l[..., 2]]
-    w = layer.weight[safe, l[..., 0], l[..., 1], l[..., 2]]
+    vps = spec.voxels_per_side
+    lin = (l[..., 0] * vps + l[..., 1]) * vps + l[..., 2]
+    sdf = layer.sdf[safe, lin]
+    w = layer.weight[safe, lin]
     valid = idx >= 0
     return jnp.where(valid, sdf, spec.truncation), jnp.where(valid, w, 0.0), valid
 

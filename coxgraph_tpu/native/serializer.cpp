@@ -97,8 +97,10 @@ size_t cox_serialized_bound(uint32_t n_blocks, uint32_t vps) {
 }
 
 // Serialize. Returns bytes written, or 0 on failure.
-// sdf/weight: [n_blocks][vps^3] f32; color: [n_blocks][vps^3][3] f32;
-// coords: [n_blocks][3] i32.
+// sdf/weight: [n_blocks][vps^3] f32; color: [n_blocks][3][vps^3] f32
+// (PLANAR channel layout, matching the device pool); coords:
+// [n_blocks][3] i32. The wire format is unchanged (interleaved rgb per
+// occupied voxel).
 size_t cox_serialize(const int32_t* coords, const float* sdf,
                      const float* weight, const float* color,
                      uint32_t n_blocks, uint32_t vps, float truncation,
@@ -130,8 +132,8 @@ size_t cox_serialize(const int32_t* coords, const float* sdf,
       if (bw[i] <= kWeightEps) continue;
       w.put(quantize_sdf(bs[i], truncation));
       w.put(quantize_w(bw[i]));
-      uint8_t rgb[3] = {quantize_c(bc[3 * i]), quantize_c(bc[3 * i + 1]),
-                        quantize_c(bc[3 * i + 2])};
+      uint8_t rgb[3] = {quantize_c(bc[i]), quantize_c(bc[vox + i]),
+                        quantize_c(bc[2 * vox + i])};
       w.bytes(rgb, 3);
     }
   }
@@ -179,13 +181,13 @@ int cox_deserialize(const uint8_t* buf, size_t len, int32_t* coords,
         bw[i] = dequantize_w(r.get<uint16_t>());
         uint8_t rgb[3];
         r.bytes(rgb, 3);
-        bc[3 * i] = rgb[0] / 255.0f;
-        bc[3 * i + 1] = rgb[1] / 255.0f;
-        bc[3 * i + 2] = rgb[2] / 255.0f;
+        bc[i] = rgb[0] / 255.0f;
+        bc[vox + i] = rgb[1] / 255.0f;
+        bc[2 * vox + i] = rgb[2] / 255.0f;
       } else {
         bs[i] = truncation;
         bw[i] = 0.0f;
-        bc[3 * i] = bc[3 * i + 1] = bc[3 * i + 2] = 0.0f;
+        bc[i] = bc[vox + i] = bc[2 * vox + i] = 0.0f;
       }
     }
   }

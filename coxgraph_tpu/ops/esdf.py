@@ -67,15 +67,18 @@ def esdf_from_tsdf(spec: vx.VoxelGridSpec, tsdf: vx.TsdfLayer,
     """Batch-build the ESDF over the TSDF's allocated blocks."""
     v = spec.voxels_per_side
     B = tsdf.max_blocks
+    # spatial views of the flat pool rows (control-rate: one relayout)
+    sdf3 = tsdf.sdf.reshape(B, v, v, v)
+    w3 = tsdf.weight.reshape(B, v, v, v)
     live = (jnp.arange(B) < tsdf.num_blocks)[:, None, None, None]
-    observed = (tsdf.weight > 1e-6) & live
+    observed = (w3 > 1e-6) & live
     md = cfg.max_distance
 
     # frozen band: observed voxels inside the truncation band keep their
     # TSDF value; the rest start at ±max_distance by TSDF sign
-    band = observed & (jnp.abs(tsdf.sdf) < spec.truncation)
+    band = observed & (jnp.abs(sdf3) < spec.truncation)
     init = jnp.where(
-        band, tsdf.sdf, jnp.where(tsdf.sdf >= 0, md, -md))
+        band, sdf3, jnp.where(sdf3 >= 0, md, -md))
     init = jnp.where(observed, init, md)
 
     # global voxel indices of every voxel (B,v,v,v,3) for neighbor lookup
@@ -128,9 +131,11 @@ def esdf_from_tsdf(spec: vx.VoxelGridSpec, tsdf: vx.TsdfLayer,
 def sample_esdf(spec: vx.VoxelGridSpec, esdf: EsdfLayer,
                 p: Array) -> Tuple[Array, Array]:
     """Trilinear ESDF lookup at world points (...,3) → (dist, valid)."""
+    B = esdf.dist.shape[0]
     tmp = vx.TsdfLayer(
-        sdf=esdf.dist, weight=esdf.observed.astype(esdf.dist.dtype),
-        color=jnp.zeros(esdf.dist.shape + (0,)),
+        sdf=esdf.dist.reshape(B, -1),     # flat rows, like the TSDF pool
+        weight=esdf.observed.astype(esdf.dist.dtype).reshape(B, -1),
+        color=jnp.zeros((B, 0)),
         block_index=esdf.block_index, block_coords=esdf.block_coords,
         num_blocks=esdf.num_blocks)
     d, w, ok = vx.sample_tsdf_trilinear(spec, tmp, p)

@@ -62,16 +62,25 @@ def merge_layer_into(spec: vx.VoxelGridSpec, dst: vx.TsdfLayer,
     centers = vx.voxel_centers_of_block(spec, coords)          # (K,v,v,v,3)
     p_src = geo.transform_points(geo.inverse(T_dst_src), centers)
     s_sdf, s_w, s_ok = vx.sample_tsdf_trilinear(spec, src, p_src)
-    # nearest-voxel color from source
+    # nearest-voxel color from source (flat planar pool rows: per-channel
+    # gather via a broadcast channel offset on the linear voxel index)
+    v = spec.voxels_per_side
+    v3 = v * v * v
+    K = slots.shape[0]
     vsrc = vx.point_to_voxel(spec, p_src)
     b, l = vx.voxel_to_block(spec, vsrc)
     bidx = vx.lookup_block(spec, src, b)
-    c_src = src.color[jnp.maximum(bidx, 0), l[..., 0], l[..., 1], l[..., 2]]
+    lin = ((l[..., 0] * v + l[..., 1]) * v + l[..., 2]).reshape(K, 1, v3)
+    ch_off = (jnp.arange(3) * v3).reshape(1, 3, 1)
+    c_src = src.color[jnp.maximum(bidx, 0).reshape(K, 1, v3),
+                      ch_off + lin]                        # (K,3,v³)
 
-    w_in = jnp.where(s_ok & slot_mask[:, None, None, None], s_w, 0.0)
-    old_sdf = dst.sdf[slots]
+    s_sdf = s_sdf.reshape(K, v3)
+    w_in = jnp.where((s_ok & slot_mask[:, None, None, None]).reshape(K, v3),
+                     s_w.reshape(K, v3), 0.0)
+    old_sdf = dst.sdf[slots]                               # (K,v³)
     old_w = dst.weight[slots]
-    old_c = dst.color[slots]
+    old_c = dst.color[slots].reshape(K, 3, v3)
     new_w = old_w + w_in
     new_sdf = jnp.where(
         new_w > 0,
@@ -79,11 +88,11 @@ def merge_layer_into(spec: vx.VoxelGridSpec, dst: vx.TsdfLayer,
         old_sdf,
     )
     new_c = jnp.where(
-        (new_w > 0)[..., None],
-        (old_w[..., None] * old_c + w_in[..., None] * c_src)
-        / jnp.maximum(new_w, 1e-9)[..., None],
+        (new_w > 0)[:, None],
+        (old_w[:, None] * old_c + w_in[:, None] * c_src)
+        / jnp.maximum(new_w, 1e-9)[:, None],
         old_c,
-    )
+    ).reshape(K, 3 * v3)
     return dataclasses.replace(
         dst,
         sdf=dst.sdf.at[slots].set(new_sdf, mode="drop"),

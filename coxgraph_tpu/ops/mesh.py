@@ -133,17 +133,20 @@ def mesh_block_chunk(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
     nb_idx = vx.lookup_block(spec, layer, nb_coords)         # (C,8)
     safe = jnp.maximum(nb_idx, 0)
 
-    def assemble(pool):
-        # pool: (B, v, v, v, ...) → (C, 2v, 2v, 2v, ...)
-        blocks = pool[safe]                                  # (C,8,v,v,v,...)
+    def assemble(blocks):
+        # blocks: (C, 8, v, v, v, ...) gathered rows → (C, 2v, 2v, 2v, ...)
         tail = blocks.shape[5:]
         big = blocks.reshape((C, 2, 2, 2, v, v, v) + tail)
         big = jnp.moveaxis(big, (1, 2, 3), (1, 3, 5))        # C,2,v,2,v,2,v
         return big.reshape((C, 2 * v, 2 * v, 2 * v) + tail)
 
-    big_sdf = assemble(layer.sdf)
-    big_w = assemble(layer.weight)
-    big_c = assemble(layer.color)
+    # pools are FLAT rows; gather the needed C·8 blocks, then reshape the
+    # small result to spatial form (whole-pool reshapes would relayout)
+    big_sdf = assemble(layer.sdf[safe].reshape(C, 8, v, v, v))
+    big_w = assemble(layer.weight[safe].reshape(C, 8, v, v, v))
+    # color rows are channel-planar; move channels to the trailing dim
+    big_c = assemble(jnp.moveaxis(
+        layer.color[safe].reshape(C, 8, 3, v, v, v), 2, -1))
 
     # neighbour allocation mask, expanded per octant (lookup_block only
     # returns ≥0 for allocated blocks, so this is the full validity)

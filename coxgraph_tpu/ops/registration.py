@@ -45,7 +45,7 @@ def extract_surface_points(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
     """→ (points (P,3) in the layer frame, mask (P,)). Fixed capacity;
     selects the highest-weight surface-band voxels (the reference
     subsamples with sampling_ratio — here: top-weight P samples)."""
-    live = (jnp.arange(layer.max_blocks) < layer.num_blocks)[:, None, None, None]
+    live = (jnp.arange(layer.max_blocks) < layer.num_blocks)[:, None]
     surf = (
         live & (layer.weight > cfg.min_weight)
         & (jnp.abs(layer.sdf) < cfg.band * spec.truncation)

@@ -243,12 +243,11 @@ def _update_pallas(spec, cfg, intr, layers, base, bc_k, slots, slot_mask,
 
     sdf_pool = layers.sdf.reshape(S * mb, v3)
     w_pool = layers.weight.reshape(S * mb, v3)
-    c_pool = layers.color.reshape(S * mb, v3 * 3)
+    c_pool = layers.color.reshape(S * mb, 3 * v3)   # planar pool: free view
     rows = jnp.minimum(base + slots, S * mb - 1)
     old_sdf = sdf_pool[rows]                               # (K, v³)
     old_w = w_pool[rows]
-    old_c = c_pool[rows].reshape(K, v3, 3)
-    old_c_planar = jnp.swapaxes(old_c, 1, 2).reshape(K, 3 * v3)
+    old_c_planar = c_pool[rows]                            # (K, 3·v³)
     coords = bc_k[slots]
 
     tiles = pallas_tsdf.compute_tile_specs(spec, cfg, intr, coords,
@@ -257,12 +256,10 @@ def _update_pallas(spec, cfg, intr, layers, base, bc_k, slots, slot_mask,
         spec, cfg, intr, coords, tiles, params, atlas,
         old_sdf, old_w, old_c_planar)
 
-    new_c = jnp.swapaxes(new_c_planar.reshape(K, 3, v3), 1, 2).reshape(
-        K, v3 * 3)
     tgt = jnp.where(slot_mask, base + slots, S * mb)
     sdf_out = sdf_pool.at[tgt].set(new_sdf, mode="drop")
     w_out = w_pool.at[tgt].set(new_w, mode="drop")
-    c_out = c_pool.at[tgt].set(new_c, mode="drop")
+    c_out = c_pool.at[tgt].set(new_c_planar, mode="drop")
     return dataclasses.replace(
         layers,
         sdf=sdf_out.reshape(layers.sdf.shape),
@@ -344,13 +341,16 @@ def _update_xla(spec, cfg, intr, layers, base, bc_k, slots, slot_mask,
                                            mode="drop")
 
         if color_flat is not None:
-            c_img = color_flat[lin].reshape(vshape + (3,))
+            # image gather stays interleaved (the image is (H,W,3)); the
+            # pool is planar — move channels up front (small, K rows)
+            c_img = jnp.moveaxis(color_flat[lin].reshape(vshape + (3,)),
+                                 -1, 1)                      # (C,3,v,v,v)
             near_surface = w_obs * (jnp.abs(sdf) < tau)
-            old_c = c_pool[safe].reshape(vshape + (3,))
+            old_c = c_pool[safe].reshape((C, 3) + vshape[1:])
             new_c = jnp.where(
-                (new_w > 0)[..., None],
-                (old_w[..., None] * old_c + near_surface[..., None] * c_img)
-                / jnp.maximum(new_w, 1e-9)[..., None],
+                (new_w > 0)[:, None],
+                (old_w[:, None] * old_c + near_surface[:, None] * c_img)
+                / jnp.maximum(new_w, 1e-9)[:, None],
                 old_c,
             )
             c_pool = c_pool.at[flat_slots].set(new_c.reshape(C, -1),

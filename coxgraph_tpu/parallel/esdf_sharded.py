@@ -71,8 +71,9 @@ def partition_blocks(spec: vx.VoxelGridSpec, tsdf: vx.TsdfLayer,
     md = cfg.esdf.max_distance
     n = int(tsdf.num_blocks)
     coords = np.asarray(tsdf.block_coords)[:n]
-    sdf = np.asarray(tsdf.sdf)[:n]
-    w = np.asarray(tsdf.weight)[:n]
+    # spatial views of the flat pool rows
+    sdf = np.asarray(tsdf.sdf)[:n].reshape(n, v, v, v)
+    w = np.asarray(tsdf.weight)[:n].reshape(n, v, v, v)
     observed = w > 1e-6
     band = observed & (np.abs(sdf) < spec.truncation)
     init = np.where(band, sdf, np.where(sdf >= 0, md, -md))
@@ -269,7 +270,7 @@ def gather_to_layer(spec: vx.VoxelGridSpec, tsdf: vx.TsdfLayer,
     n = int(tsdf.num_blocks)
     key = {tuple(c): k for k, c in
            enumerate(np.asarray(tsdf.block_coords)[:n].tolist())}
-    out = np.full(np.asarray(tsdf.sdf).shape, md, np.float32)
+    out = np.full((tsdf.max_blocks, v, v, v), md, np.float32)
     coords = np.asarray(parts.coords)
     live = np.asarray(parts.live)
     d = np.asarray(dist)
@@ -282,7 +283,7 @@ def gather_to_layer(spec: vx.VoxelGridSpec, tsdf: vx.TsdfLayer,
                 out[k] = d[dev, s]
     return esdf_ops.EsdfLayer(
         dist=jnp.asarray(out),
-        observed=tsdf.weight > 1e-6,
+        observed=(tsdf.weight > 1e-6).reshape(tsdf.max_blocks, v, v, v),
         block_index=tsdf.block_index,
         block_coords=tsdf.block_coords,
         num_blocks=tsdf.num_blocks,

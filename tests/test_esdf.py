@@ -19,12 +19,15 @@ def sphere_tsdf(center, radius, nblk=2):
     layer = vx.allocate_blocks(SPEC, layer, coords)
     centers = vx.voxel_centers_of_block(SPEC, layer.block_coords)
     true = jnp.linalg.norm(centers - jnp.asarray(center), axis=-1) - radius
-    live = (jnp.arange(SPEC.max_blocks) < layer.num_blocks)[:, None, None, None]
+    live2 = (jnp.arange(SPEC.max_blocks) < layer.num_blocks)[:, None]
     return dataclasses.replace(
         layer,
-        sdf=jnp.where(live, jnp.clip(true, -SPEC.truncation, SPEC.truncation),
+        sdf=jnp.where(live2,
+                      jnp.clip(true, -SPEC.truncation,
+                               SPEC.truncation).reshape(
+                          SPEC.max_blocks, -1),
                       layer.sdf),
-        weight=jnp.where(live, jnp.ones_like(layer.weight), 0.0),
+        weight=jnp.where(live2, jnp.ones_like(layer.weight), 0.0),
     ), true
 
 
@@ -37,7 +40,9 @@ def test_esdf_extends_beyond_truncation():
     obs = np.asarray(esdf.observed)
     # in the band: equals tsdf
     band = obs & (np.abs(t) < SPEC.truncation)
-    np.testing.assert_allclose(d[band], np.asarray(tsdf.sdf)[band], atol=1e-5)
+    np.testing.assert_allclose(
+        d[band],
+        np.asarray(tsdf.sdf).reshape(d.shape)[band], atol=1e-5)
     # beyond the band (up to max_distance): 26-connectivity quasi-Euclidean
     # distance overestimates true Euclidean by < ~8% + one voxel
     out = obs & (t > SPEC.truncation) & (t < 0.9)

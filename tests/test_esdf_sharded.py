@@ -26,12 +26,13 @@ def sphere_tsdf(center, radius, nblk=3):
     layer = vx.allocate_blocks(SPEC, layer, coords)
     centers = vx.voxel_centers_of_block(SPEC, layer.block_coords)
     true = jnp.linalg.norm(centers - jnp.asarray(center), axis=-1) - radius
-    live = (jnp.arange(SPEC.max_blocks)
-            < layer.num_blocks)[:, None, None, None]
+    live = (jnp.arange(SPEC.max_blocks) < layer.num_blocks)[:, None]
     return dataclasses.replace(
         layer,
         sdf=jnp.where(live,
-                      jnp.clip(true, -SPEC.truncation, SPEC.truncation),
+                      jnp.clip(true, -SPEC.truncation,
+                               SPEC.truncation).reshape(
+                          SPEC.max_blocks, -1),
                       layer.sdf),
         weight=jnp.where(live, jnp.ones_like(layer.weight), 0.0),
     )

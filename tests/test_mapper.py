@@ -63,6 +63,7 @@ def test_submap_layers_hold_surface():
         centers = vx.voxel_centers_of_block(SPEC, layer.block_coords)
         world = geo.transform_points(col.T_odom_submap[k], centers)
         true = np.asarray(syn.scene_sdf(scene, world))
+        true = true.reshape(true.shape[0], -1)
         sdf = np.asarray(layer.sdf)
         near = live & (np.abs(true) < 0.15)
         assert near.sum() > 50
@@ -92,6 +93,7 @@ def test_merge_two_posed_layers():
     centers = vx.voxel_centers_of_block(SPEC, merged.block_coords)
     world = geo.transform_points(traj[0], centers)  # frame A → world
     true = np.asarray(syn.scene_sdf(scene, world))
+    true = true.reshape(true.shape[0], -1)     # flat rows, like the pool
     near = live & (np.abs(true) < 0.15)
     assert near.sum() > 100
     err = np.abs(np.asarray(merged.sdf)[near] - true[near])
@@ -107,6 +109,7 @@ def test_merged_layer_covers_scene():
     live = np.asarray(merged.weight > 0.2)
     centers = vx.voxel_centers_of_block(SPEC, merged.block_coords)
     true = np.asarray(syn.scene_sdf(scene, centers))
+    true = true.reshape(true.shape[0], -1)
     near = live & (np.abs(true) < 0.1)
     assert near.sum() > 100
     err = np.abs(np.asarray(merged.sdf)[near] - true[near])

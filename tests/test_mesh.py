@@ -24,8 +24,9 @@ def make_sphere_layer(center, radius):
     )
     layer = vx.allocate_blocks(SPEC, layer, coords)
     centers = vx.voxel_centers_of_block(SPEC, layer.block_coords)
-    sdf = jnp.linalg.norm(centers - jnp.asarray(center), axis=-1) - radius
-    live = (jnp.arange(SPEC.max_blocks) < layer.num_blocks)[:, None, None, None]
+    sdf = (jnp.linalg.norm(centers - jnp.asarray(center), axis=-1)
+           - radius).reshape(SPEC.max_blocks, -1)   # flat pool rows
+    live = (jnp.arange(SPEC.max_blocks) < layer.num_blocks)[:, None]
     return dataclasses.replace(
         layer,
         sdf=jnp.where(live, sdf, layer.sdf),

@@ -44,6 +44,7 @@ def test_integrate_single_frame_tsdf_accuracy():
     sdf = np.asarray(layer.sdf)
     centers = np.asarray(vx.voxel_centers_of_block(SPEC, layer.block_coords))
     true = np.asarray(syn.scene_sdf(scene, jnp.asarray(centers)))
+    true = true.reshape(true.shape[0], -1)     # flat rows, like the pool
     near = live & (np.abs(true) < 0.5 * SPEC.truncation)
     assert near.sum() > 100
     err = np.abs(sdf[near] - true[near])
@@ -67,6 +68,8 @@ def test_integrate_orbit_converges():
     sdf = np.asarray(layer.sdf)
     centers = np.asarray(vx.voxel_centers_of_block(SPEC, layer.block_coords))
     true = np.asarray(syn.scene_sdf(scene, jnp.asarray(centers)))
+    true = true.reshape(true.shape[0], -1)     # flat rows, like the pool
+    centers = centers.reshape(true.shape[0], -1, 3)
     # judge accuracy on the sphere obstacles, which the orbit views
     # frontally (walls/floor stay grazing-incidence and keep the
     # projective bias, as in the reference integrators)

@@ -101,7 +101,7 @@ def test_trilinear_linear_field():
     def fill(slot, bc):
         centers = vx.voxel_centers_of_block(SPEC, jnp.asarray(bc))
         vals = 0.2 * centers[..., 0] - 0.1 * centers[..., 1] + 0.05 * centers[..., 2]
-        return vals
+        return vals.reshape(-1)   # flat pool row
 
     sdf = layer.sdf
     for i in range(8):

@@ -51,9 +51,9 @@ def test_layer_roundtrip_and_compression():
     np.testing.assert_allclose(w_out[sig], w_in[sig], rtol=0.05, atol=2e-4)
     # unobserved voxels are reset to defaults
     assert (w_out[~obs] == 0).all()
-    c_in = np.asarray(layer.color[:n])
-    c_out = np.asarray(out.color)[slots]
-    assert np.abs(c_out - c_in)[obs].max() < 1 / 250
+    c_in = np.asarray(layer.color[:n]).reshape(n, 3, -1)   # planar rows
+    c_out = np.asarray(out.color)[slots].reshape(n, 3, -1)
+    assert np.abs(c_out - c_in).max(axis=1)[obs].max() < 1 / 250
 
 
 def test_submap_msg_roundtrip():
