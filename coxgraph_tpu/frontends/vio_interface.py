@@ -15,12 +15,36 @@ from __future__ import annotations
 from typing import Dict, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 
 from ..core import geometry as geo
 from ..mapper import submap_mapper as sm
 from ..server.fusion_server import CoxgraphServer, MapFusionMsg
 
 Array = jax.Array
+
+# ORB-SLAM camera convention (z forward, y down) → ROS/world (x forward,
+# z up) change-of-basis (tf_orb_to_ros, tf_publisher.h:187)
+_ORB_TO_ROS = np.array([[0.0, 0.0, 1.0],
+                        [-1.0, 0.0, 0.0],
+                        [0.0, -1.0, 0.0]])
+
+
+def pose_from_orbslam(T_cw: np.ndarray) -> Array:
+    """ORB-SLAM tracker output T_cw (4x4 camera-from-world, ORB axes) →
+    T_odom_cam pose (7,) in the world convention — the reference's
+    TransformFromTf chain: rebase to ROS axes, invert to world-from-
+    camera, rebase again (tf_publisher.h:184-205)."""
+    T_cw = np.asarray(T_cw, np.float64)
+    R = _ORB_TO_ROS @ T_cw[:3, :3]
+    t = _ORB_TO_ROS @ T_cw[:3, 3]
+    R = R.T
+    t = -(R @ t)
+    R = _ORB_TO_ROS @ R
+    t = _ORB_TO_ROS @ t
+    q = geo.matrix_to_quat(jnp.asarray(R, jnp.float32))
+    return geo.make(q, jnp.asarray(t, jnp.float32))
 
 
 class VIOInterface:
@@ -34,6 +58,9 @@ class VIOInterface:
         self.mapping_enabled = True
         self._need_to_fuse_cache: Dict[Tuple[int, int], bool] = {}
         self.T_odom_latest: Optional[Array] = None
+        # optional IMU extrinsics chain T_odom_imu · T_imu_sensor
+        # (tf_publisher.h:76-100)
+        self.T_imu_sensor: Optional[Array] = None
         # host-side rollover mirror: zero device reads in the frame loop
         self._mapper = sm.HostMapper(cfg, client.state)
 
@@ -58,6 +85,37 @@ class VIOInterface:
         return self.server.map_fusion(MapFusionMsg(
             from_client=from_client, from_time=from_time,
             to_client=to_client, to_time=to_time, T_from_to=T_from_to))
+
+    def update_pose_matrix(self, T_cw: np.ndarray, t: float,
+                           depth: Optional[Array] = None,
+                           color: Optional[Array] = None,
+                           orbslam_axes: bool = True) -> None:
+        """updatePose(cv::Mat/Eigen::Matrix4d) overload parity
+        (vio_interface.h:34-44): accepts the tracker's 4x4 camera-from-
+        world matrix, optionally in ORB-SLAM axes."""
+        if orbslam_axes:
+            T = pose_from_orbslam(T_cw)
+        else:
+            T4 = np.asarray(T_cw, np.float64)
+            T = geo.make(geo.matrix_to_quat(jnp.asarray(T4[:3, :3],
+                                                        jnp.float32)),
+                         jnp.asarray(T4[:3, 3], jnp.float32))
+        self.update_pose(T, t, depth, color)
+
+    def frames(self):
+        """Current transform chain, the pull equivalent of the
+        reference's 100 Hz odom→imu→sensor TF broadcast
+        (tf_publisher.h:76-100): {('odom','sensor'): T} or, with IMU
+        extrinsics set, {('odom','imu'): T·T_I_S⁻¹, ('imu','sensor'):
+        T_I_S}."""
+        if self.T_odom_latest is None:
+            return {}
+        T_O_S = self.T_odom_latest
+        if self.T_imu_sensor is None:
+            return {("odom", "sensor"): T_O_S}
+        T_I_S = self.T_imu_sensor
+        return {("odom", "imu"): geo.compose(T_O_S, geo.inverse(T_I_S)),
+                ("imu", "sensor"): T_I_S}
 
     # vio_interface.h:68-80 toggleMapping service
     def toggle_mapping(self, enable: bool) -> None:

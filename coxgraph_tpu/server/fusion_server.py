@@ -223,6 +223,12 @@ class CoxgraphServer:
         client_handler.h:185-193, mesh_collection.h:25-31)."""
         self.mesh_collection[(int(cid), int(csid))] = mesh_msg
 
+    def publish_submap_meshes(self):
+        """All cached client-pushed submap meshes, keyed (cid, csid) —
+        the pull equivalent of ServerVisualizer::publishSubmapMeshes'
+        periodic republish timer (server_visualizer.h:194-203)."""
+        return dict(self.mesh_collection)
+
     def client_pose_updates(self, cid: int,
                             updates: List[Tuple[int, Array]]) -> None:
         """Client local-PGO pose push: update the stored client-odom pose
