@@ -98,3 +98,35 @@ def load_system_config(path: str):
         "solver": solver, "features": feat, "loop_detector": detector,
         "esdf": esdf,
     }
+
+
+def information_matrix_from_params(params: Dict[str, float]) -> "np.ndarray":
+    """4-DoF (x, y, z, yaw) information matrix from upper-triangle entries
+    — parity with setInformationMatrixFromRosParams (utils/ros_params.h:9-32,
+    populated from YAML like server.yaml:32-51). Keys: "x_x", "x_y",
+    "x_z", "x_yaw", "y_y", "y_z", "y_yaw", "z_z", "z_yaw", "yaw_yaw";
+    missing entries default to 0. The upper triangle is mirrored to the
+    lower to form a symmetric matrix."""
+    import numpy as np
+
+    names = ("x", "y", "z", "yaw")
+    M = np.zeros((4, 4))
+    for i in range(4):
+        for j in range(i, 4):
+            M[i, j] = float(params.get(f"{names[i]}_{names[j]}", 0.0))
+            M[j, i] = M[i, j]
+    return M
+
+
+def sqrt_information(M: "np.ndarray", eps: float = 1e-9) -> "np.ndarray":
+    """Whitening square root of an information matrix: Cholesky when
+    positive-definite, robust eigenvalue-clamped root otherwise (the
+    reference's LLT → robust-LDLT fallback,
+    relative_pose_constraint.h:28-61)."""
+    import numpy as np
+
+    try:
+        return np.linalg.cholesky(M).T
+    except np.linalg.LinAlgError:
+        w, V = np.linalg.eigh(M)
+        return (V * np.sqrt(np.maximum(w, eps))) @ V.T

@@ -153,3 +153,22 @@ def test_average_same_stamp():
     np.testing.assert_allclose(p[1, 4:], [1.0, 0.0, 0.0])
     np.testing.assert_allclose(np.abs(p[1, 0]), 1.0, atol=1e-6)
     np.testing.assert_allclose(p[0, 4:], [1, 1, 1.0])
+
+
+def test_information_matrix_from_params():
+    from coxgraph_tpu.utils import config as cfg_mod
+
+    M = cfg_mod.information_matrix_from_params(
+        {"x_x": 100.0, "y_y": 100.0, "z_z": 400.0, "yaw_yaw": 400.0,
+         "x_y": 10.0})
+    assert M.shape == (4, 4)
+    assert M[0, 1] == M[1, 0] == 10.0     # upper mirrored to lower
+    assert M[2, 2] == 400.0
+    # whitening root reproduces the matrix
+    S = cfg_mod.sqrt_information(M)
+    np.testing.assert_allclose(S.T @ S, M, atol=1e-9)
+    # robust path on a semi-definite matrix
+    M2 = np.zeros((4, 4))
+    M2[0, 0] = 1.0
+    S2 = cfg_mod.sqrt_information(M2)
+    np.testing.assert_allclose(S2.T @ S2, M2, atol=1e-6)
