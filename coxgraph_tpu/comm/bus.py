@@ -165,7 +165,8 @@ class ClientService:
         cid = client.client_id
         self.bus = BusClient(port)
         for srv in ("get_submap_by_time", "get_all_submaps",
-                    "lookup_pose", "loop_closure", "pose_updates"):
+                    "lookup_pose", "loop_closure", "pose_updates",
+                    "toggle_mapping", "finish_map", "get_pose_history"):
             self.bus.advertise(f"client{cid}/{srv}")
 
     def publish_timeline(self) -> None:
@@ -224,6 +225,18 @@ class ClientService:
             ups = [(k, jnp.asarray(p)) for k, p in pickle.loads(payload)]
             self.client.apply_pose_updates(ups)
             out = b"\x01"
+        elif name == "toggle_mapping":
+            # start_mapping.sh:2-5 / vio_interface.h:68-80 service
+            self.client.toggle_mapping(bool(payload[0]))
+            out = b"\x01"
+        elif name == "finish_map":
+            # finish_experiment.sh:3-4 client finish_map service
+            out = struct.pack("<B", int(self.client.finish_map()))
+        elif name == "get_pose_history":
+            # client get_pose_history service (coxgraph_client.cpp:38-45)
+            stamps, poses = self.client.get_pose_history()
+            out = pickle.dumps((np.asarray(stamps), np.asarray(poses)),
+                               protocol=4)
         else:
             out = b""
         self.bus.reply(reqid, out)
@@ -306,6 +319,30 @@ class RemoteClient:
                                protocol=4)
         self.bus.request(self._srv("pose_updates"), payload,
                          self.timeout_ms)
+        # also broadcast each optimized pose as a stamped MapTransform —
+        # the reference ClientHandler's submap-pose TF publication
+        # (sm_pose_tf_pub_, client_handler.cpp:60, MapTransform.msg:1-4)
+        import time as _t
+        now = _t.time()
+        for k, p in updates:
+            self.bus.publish(self._srv("submap_pose_tf"),
+                             wire.pack_map_transform(now, int(k), p))
+
+    def toggle_mapping(self, enable: bool) -> None:
+        self.bus.request(self._srv("toggle_mapping"),
+                         struct.pack("<B", int(enable)), self.timeout_ms)
+
+    def finish_map(self) -> bool:
+        out = self.bus.request(self._srv("finish_map"), b"",
+                               self.timeout_ms)
+        return bool(out and out[0])
+
+    def get_pose_history(self):
+        """ClientHandler::requestPoseHistory (client_handler.cpp:149-160)
+        → (stamps (N,), poses (N,7)) in the client's odom frame."""
+        out = self.bus.request(self._srv("get_pose_history"), b"",
+                               self.timeout_ms)
+        return pickle.loads(out)
 
 
 # ---------------------------------------------------------------------------
@@ -454,3 +491,18 @@ class RemoteVIO:
         out = self.bus.request("server/get_pose_history",
                                struct.pack("<i", client_id), self.timeout_ms)
         return pickle.loads(out)
+
+    def toggle_mapping(self, client_id: int, enable: bool) -> bool:
+        """toggleMapping service client (vio_interface.h:68-80,
+        start_mapping.sh:2-5) aimed at one robot's mapper. → acked
+        (False ⇒ that robot's service isn't up yet — retry)."""
+        out = self.bus.request(f"client{client_id}/toggle_mapping",
+                               struct.pack("<B", int(enable)),
+                               self.timeout_ms)
+        return bool(out and out[0])
+
+    def finish_map(self, client_id: int) -> bool:
+        """Client finish_map service call (finish_experiment.sh:3-4)."""
+        out = self.bus.request(f"client{client_id}/finish_map", b"",
+                               self.timeout_ms)
+        return bool(out and out[0])

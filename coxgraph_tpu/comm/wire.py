@@ -145,3 +145,21 @@ def unpack_submap_msg(spec: vx.VoxelGridSpec, buf: bytes):
     return dict(client_id=cid, submap_id=sid, t0=t0, t1=t1,
                 T_cli_submap=pose, hist_stamps=hs, hist_poses=hp,
                 layer=layer)
+
+
+_MAP_TF = struct.Struct("<dh")
+
+
+def pack_map_transform(stamp: float, submap_id: int, pose7) -> bytes:
+    """MapTransform message: stamped optimized submap pose the server
+    broadcasts back to a client (coxgraph_msgs/MapTransform.msg:1-4,
+    published per submap by ClientHandler's sm_pose_tf_pub_,
+    client_handler.cpp:60)."""
+    return (_MAP_TF.pack(stamp, submap_id)
+            + np.asarray(pose7, np.float32).tobytes())
+
+
+def unpack_map_transform(buf: bytes):
+    stamp, sid = _MAP_TF.unpack_from(buf, 0)
+    pose = np.frombuffer(buf, np.float32, 7, _MAP_TF.size).copy()
+    return stamp, sid, pose

@@ -150,3 +150,43 @@ def two_robot_experiment(scene=None, n_frames: int = 40,
             T_world_odom=X[r], seed=r)
         for r in range(2)
     ], trajs, X
+
+
+class OdometryTransformer:
+    """Ground-truth world-frame odometry → a per-robot odom frame with a
+    configurable origin offset — the coxgraph_sim OdometryTransformPublisher
+    node (odometry_transform_publisher.cpp:30-110): T_O_B = T_G_O⁻¹·T_G_B
+    with T_G_O from (origin_x/y/z, origin_yaw) params (:30-43), and the
+    twist re-expressed through R_G_O⁻¹ (:74-91). Pure numpy (host control
+    path). ``frames()`` is the pull equivalent of its odom→base TF timer
+    (:102-110)."""
+
+    def __init__(self, origin_xyz=(0.0, 0.0, 0.0), origin_yaw: float = 0.0,
+                 odom_frame: str = "odom", base_frame: str = "base_link"):
+        half = 0.5 * float(origin_yaw)
+        q = np.array([np.cos(half), 0.0, 0.0, np.sin(half)], np.float32)
+        self.T_G_O = np.concatenate(
+            [q, np.asarray(origin_xyz, np.float32)])
+        self.odom_frame = odom_frame
+        self.base_frame = base_frame
+        self.T_O_B: Optional[np.ndarray] = None
+
+    def transform(self, T_G_B, lin_vel=None, ang_vel=None):
+        """One ground-truth odometry sample → (T_O_B[, lin_vel_O, ang_vel_O])
+        in this robot's odom frame (odomCallback, :60-98)."""
+        self.T_O_B = geo.compose_np(geo.inverse_np(self.T_G_O),
+                                    np.asarray(T_G_B, np.float32))
+        if lin_vel is None and ang_vel is None:
+            return self.T_O_B
+        q_inv = self.T_G_O[:4] * np.array([1, -1, -1, -1], np.float32)
+        out = [self.T_O_B]
+        for v in (lin_vel, ang_vel):
+            out.append(None if v is None else geo._np_quat_rotate(
+                q_inv, np.asarray(v, np.float32)))
+        return tuple(out)
+
+    def frames(self):
+        """{(odom_frame, base_frame): latest T_O_B} — publishTf (:103-110)."""
+        if self.T_O_B is None:
+            return {}
+        return {(self.odom_frame, self.base_frame): self.T_O_B}

@@ -240,9 +240,25 @@ class HostMapper:
         self.last_start = (
             float(self.state.collection.start_time[self.n_submaps - 1])
             if self.n_submaps else 0.0)
+        # toggle_mapping service state (start_mapping.sh:2-5); frames
+        # arriving while disabled are dropped, as the reference tsdf
+        # client does.
+        self.mapping_enabled = True
+
+    def finish_map(self,
+                   solver_cfg: "pg.SolverConfig" = None) -> None:
+        """Final local PGO + stop integrating (the voxgraph finish_map
+        service, finish_experiment.sh:3-4)."""
+        if self.n_submaps > 1:
+            self.state = optimize_local(
+                self.cfg, self.state,
+                solver_cfg if solver_cfg is not None else pg.SolverConfig())
+        self.mapping_enabled = False
 
     def step(self, depth: Array, color: Optional[Array], T_odom_cam: Array,
              t: float) -> bool:
+        if not self.mapping_enabled:
+            return False
         started = False
         if (self.n_submaps == 0
                 or t - self.last_start >= self.cfg.submap_interval - 1e-6):
@@ -265,6 +281,8 @@ class HostMapper:
         number of submaps started."""
         import numpy as np
 
+        if not self.mapping_enabled:
+            return 0
         ts = np.asarray(ts, np.float32)
         F = len(ts)
         starts = []          # frame indices where a rollover fires

@@ -27,33 +27,46 @@ from .tsdf import touched_block_slots
 Array = jax.Array
 
 
-def _candidate_dst_blocks(spec: vx.VoxelGridSpec, src: vx.TsdfLayer,
+def _candidate_dst_blocks(dst_spec: vx.VoxelGridSpec,
+                          src_spec: vx.VoxelGridSpec, src: vx.TsdfLayer,
                           T_dst_src: Array):
-    """→ (coords (S*27, 3) int32, valid (S*27,) bool): destination block
-    coordinates conservatively covering each live source block."""
-    s = spec.block_size
+    """→ (coords (S*n³, 3) int32, valid (S*n³,) bool): destination block
+    coordinates conservatively covering each live source block. n per axis
+    is derived from the block-size ratio so cross-resolution merges
+    (server 0.05 m vs client 0.10 m voxels, coxgraph_server.launch:5-6 vs
+    coxgraph_client.yaml) stay covered: a rotated source block's AABB
+    spans ≤ src_block·√3, hence ≤ floor(src_block·√3/dst_block)+2
+    destination blocks per axis (= 3 in the same-spec case)."""
+    s_src, s_dst = src_spec.block_size, dst_spec.block_size
+    n_off = int(s_src * (3.0 ** 0.5) / s_dst) + 2
     live = jnp.arange(src.max_blocks) < src.num_blocks
-    origin = vx.block_origin(spec, src.block_coords)          # (S,3)
+    origin = vx.block_origin(src_spec, src.block_coords)      # (S,3)
     corners = jnp.stack(
         jnp.meshgrid(*([jnp.array([0.0, 1.0])] * 3), indexing="ij"), axis=-1
-    ).reshape(8, 3) * s                                        # (8,3)
+    ).reshape(8, 3) * s_src                                    # (8,3)
     pts = origin[:, None, :] + corners[None, :, :]             # (S,8,3)
     pts_dst = geo.transform_points(T_dst_src, pts)
-    bmin = jnp.floor(jnp.min(pts_dst, axis=1) / s).astype(jnp.int32)  # (S,3)
+    bmin = jnp.floor(jnp.min(pts_dst, axis=1) / s_dst).astype(jnp.int32)
     offs = jnp.stack(
-        jnp.meshgrid(*([jnp.arange(3)] * 3), indexing="ij"), axis=-1
-    ).reshape(27, 3).astype(jnp.int32)
-    cand = bmin[:, None, :] + offs[None, :, :]                 # (S,27,3)
+        jnp.meshgrid(*([jnp.arange(n_off)] * 3), indexing="ij"), axis=-1
+    ).reshape(-1, 3).astype(jnp.int32)
+    cand = bmin[:, None, :] + offs[None, :, :]                 # (S,n³,3)
     valid = jnp.broadcast_to(live[:, None], cand.shape[:2])
     return cand.reshape(-1, 3), valid.reshape(-1)
 
 
-@partial(jax.jit, static_argnums=(0, 4), donate_argnums=1)
+@partial(jax.jit, static_argnums=(0, 4, 5), donate_argnums=1)
 def merge_layer_into(spec: vx.VoxelGridSpec, dst: vx.TsdfLayer,
                      src: vx.TsdfLayer, T_dst_src: Array,
-                     max_touched: int = 4096) -> vx.TsdfLayer:
-    """Fuse src (posed by T_dst_src) into dst. Returns updated dst."""
-    cand, cand_valid = _candidate_dst_blocks(spec, src, T_dst_src)
+                     max_touched: int = 4096,
+                     src_spec: vx.VoxelGridSpec = None) -> vx.TsdfLayer:
+    """Fuse src (posed by T_dst_src) into dst. Returns updated dst.
+    ``src_spec`` (default: same as dst) enables cross-resolution fusion —
+    the destination is resampled from the source at its own grid, the
+    reference's mergeLayerAintoLayerB between the server's finer mesh
+    layer and client-resolution submaps."""
+    src_spec = src_spec or spec
+    cand, cand_valid = _candidate_dst_blocks(spec, src_spec, src, T_dst_src)
     dst = vx.allocate_blocks(spec, dst, cand, cand_valid)
 
     slots, slot_mask = touched_block_slots(spec, dst, cand, cand_valid,
@@ -61,17 +74,18 @@ def merge_layer_into(spec: vx.VoxelGridSpec, dst: vx.TsdfLayer,
     coords = dst.block_coords[slots]
     centers = vx.voxel_centers_of_block(spec, coords)          # (K,v,v,v,3)
     p_src = geo.transform_points(geo.inverse(T_dst_src), centers)
-    s_sdf, s_w, s_ok = vx.sample_tsdf_trilinear(spec, src, p_src)
+    s_sdf, s_w, s_ok = vx.sample_tsdf_trilinear(src_spec, src, p_src)
     # nearest-voxel color from source (flat planar pool rows: per-channel
     # gather via a broadcast channel offset on the linear voxel index)
-    v = spec.voxels_per_side
-    v3 = v * v * v
+    v3 = spec.voxels_per_side ** 3                 # dst voxels per block
+    sv = src_spec.voxels_per_side
+    sv3 = sv * sv * sv
     K = slots.shape[0]
-    vsrc = vx.point_to_voxel(spec, p_src)
-    b, l = vx.voxel_to_block(spec, vsrc)
-    bidx = vx.lookup_block(spec, src, b)
-    lin = ((l[..., 0] * v + l[..., 1]) * v + l[..., 2]).reshape(K, 1, v3)
-    ch_off = (jnp.arange(3) * v3).reshape(1, 3, 1)
+    vsrc = vx.point_to_voxel(src_spec, p_src)
+    b, l = vx.voxel_to_block(src_spec, vsrc)
+    bidx = vx.lookup_block(src_spec, src, b)
+    lin = ((l[..., 0] * sv + l[..., 1]) * sv + l[..., 2]).reshape(K, 1, v3)
+    ch_off = (jnp.arange(3) * sv3).reshape(1, 3, 1)
     c_src = src.color[jnp.maximum(bidx, 0).reshape(K, 1, v3),
                       ch_off + lin]                        # (K,3,v³)
 

@@ -53,6 +53,38 @@ class InProcessClient:
         self.sent_submaps: set[int] = set()   # send-once policy
         self.bytes_sent = 0                   # bandwidth accounting
         self._published_poses: dict = {}      # csid → last-published pose
+        self.mapping_enabled = True           # toggle_mapping service state
+        self.finished = False                 # finish_map latched
+        self.mapper = None                    # optional HostMapper to control
+
+    # -- mapping control services -------------------------------------------
+
+    def toggle_mapping(self, enable: bool) -> None:
+        """Enable/disable integration — the tsdf client's toggle_mapping
+        service (called by scripts/start_mapping.sh:2-5 and
+        vio_interface.h:68-80). The robot's frame loop consults
+        ``mapping_enabled`` before integrating."""
+        self.mapping_enabled = bool(enable) and not self.finished
+        if self.mapper is not None:
+            self.mapper.mapping_enabled = self.mapping_enabled
+
+    def finish_map(self) -> bool:
+        """Finalize the map: run a last local pose-graph optimization over
+        the submap chain and stop integrating (the voxgraph finish_map
+        service each client exposes, called at finish_experiment.sh:3-4
+        before the server's final mesh). Idempotent."""
+        if self.finished:
+            return False
+        if self.mapper is not None:
+            self.state = self.mapper.state
+        if int(self.state.collection.num_submaps) > 1:
+            self.state = sm.optimize_local(self.cfg, self.state)
+        self.finished = True
+        self.mapping_enabled = False
+        if self.mapper is not None:
+            self.mapper.state = self.state
+            self.mapper.mapping_enabled = False
+        return True
 
     # -- topics the client publishes --------------------------------------
 
@@ -125,6 +157,12 @@ class InProcessClient:
     def get_all_submaps(self) -> List[SubmapHandle]:
         return [self._handle(k)
                 for k in range(int(self.state.collection.num_submaps))]
+
+    def get_pose_history(self):
+        """Full odom-frame trajectory (stamps, poses) — the client's
+        get_pose_history service (coxgraph_client.cpp:38-45, pulled by
+        ClientHandler::requestPoseHistory, client_handler.cpp:149-160)."""
+        return sm.trajectory(self.state.collection)
 
     def lookup_pose_in_submap(self, k: int, t: float) -> Array:
         """T_submap_cam at time t from the submap's history

@@ -65,6 +65,11 @@ class ServerConfig:
     reject_bad_candidates: bool = False
     candidate_max_rms: float = 0.75    # voxels, surface-agreement gate
     candidate_min_inliers: int = 30
+    # Periodic auto-mesh: regenerate the global mesh after 4 timeline
+    # updates per client once one has been produced (the server's 1 Hz
+    # generateGlobalMeshEvent timer, coxgraph_server.h:275-283).
+    publish_global_mesh_on_update: bool = False
+    mesh_updates_per_client: int = 4
 
 
 def average_same_stamp(stamps: np.ndarray, poses: np.ndarray,
@@ -149,6 +154,9 @@ class CoxgraphServer:
         # (cid, csid) → client-pushed submap mesh (MeshCollection upsert
         # cache, visualizer/mesh_collection.h:25-31)
         self.mesh_collection: Dict[Tuple[int, int], object] = {}
+        # auto-mesh bookkeeping (coxgraph_server.h:109, :183)
+        self.global_mesh_need_update = 0
+        self.global_mesh_initialized = False
 
     # ------------------------------------------------------------------
     # Distribution controller (distribution_controller.h:49-87)
@@ -282,7 +290,15 @@ class CoxgraphServer:
     # ------------------------------------------------------------------
 
     def time_line_update(self) -> None:
-        """Retry queued 'future' fusions after clients advanced."""
+        """Retry queued 'future' fusions after clients advanced and count
+        the update toward the periodic auto-mesh
+        (timeLineUpdateCallback, coxgraph_server.h:181-184)."""
+        self.global_mesh_need_update += 1
+        self.process_mf_future()
+
+    def process_mf_future(self) -> None:
+        """Drain the queued 'future' fusions (processMFFuture,
+        coxgraph_server.cpp:328-366)."""
         if not self.future_queue:
             return
         queue, self.future_queue = self.future_queue, []
@@ -290,6 +306,20 @@ class CoxgraphServer:
             ok = self._try_fuse(mf)
             if not ok and tries + 1 < self.cfg.max_future_retries:
                 self.future_queue.append((mf, tries + 1))
+
+    def generate_global_mesh_event(self, **mesh_kwargs):
+        """Poll-equivalent of the server's 1 Hz auto-mesh timer
+        (generateGlobalMeshEvent, coxgraph_server.h:275-283): once a first
+        global mesh exists, regenerate after mesh_updates_per_client
+        timeline updates per client. Returns the (merged, verts, cols)
+        tuple when a mesh was produced, else None."""
+        if (not self.cfg.publish_global_mesh_on_update
+                or not self.global_mesh_initialized
+                or self.global_mesh_need_update // max(1, len(self.clients))
+                != self.cfg.mesh_updates_per_client):
+            return None
+        self.global_mesh_need_update = 0
+        return self.get_final_global_mesh(None, **mesh_kwargs)
 
     # ------------------------------------------------------------------
     # Map fusion (mapFusionCallback + fuseMap, coxgraph_server.cpp:198-476)
@@ -480,16 +510,21 @@ class CoxgraphServer:
         """Drain pending fusions, pull every submap, re-optimize, merge in
         the global frame and mesh (ServerVisualizer::getFinalGlobalMesh,
         server_visualizer.cpp:20-142)."""
-        self.time_line_update()
+        self.process_mf_future()
         self.collect_all_submaps()
+        self.global_mesh_initialized = True
         if self.in_control and len(self.submaps) >= 2:
             self.optimize()
         spec = mesh_spec or self.cfg.spec
         merged = vx.create_tsdf_layer(spec)
         poses = self._poses()
         for s in self.submaps:
+            # submaps stay at client resolution; the global mesh layer may
+            # be finer/coarser (server 0.05 m vs client 0.10 m voxels,
+            # coxgraph_server.launch:5-6) — cross-spec resampling merge
             merged = merge_ops.merge_layer_into(
-                spec, merged, s.layer, poses[s.sid])
+                spec, merged, s.layer, poses[s.sid],
+                src_spec=self.cfg.spec if spec != self.cfg.spec else None)
         verts, cols = mesh_ops.extract_mesh(spec, merged,
                                             min_weight=min_weight)
         if ply_path:

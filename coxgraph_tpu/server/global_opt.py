@@ -165,6 +165,12 @@ def optimize_two_phase(poses: Array,
     res1 = pg.optimize(poses, constraints, solver_cfg, fixed=fixed)
     poses = res1.poses
 
+    if registration_weight == 0.0:
+        # zero-weight registration contributes nothing to the solve —
+        # skip overlap detection and phase 2 entirely
+        return poses, {"phase1_cost": float(res1.cost),
+                       "n_registration_pairs": 0}
+
     pairs_idx = find_overlapping_pairs(spec, layers, poses,
                                        skip_adjacent_same_client=skip_pairs)
     rpairs = make_registration_pairs(spec, layers, pairs_idx, reg_cfg)

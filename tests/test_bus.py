@@ -302,3 +302,76 @@ def test_server_service_and_remote_vio(broker, tmp_path):
         stop.set()
         for t in threads:
             t.join()
+
+
+def test_mapping_control_and_pose_tf_over_bus(broker):
+    """toggle_mapping / finish_map client services over the broker
+    (start_mapping.sh:2-5, finish_experiment.sh:3-4) and the MapTransform
+    submap-pose broadcast (client_handler.cpp:60)."""
+    from coxgraph_tpu.comm import wire
+
+    robot = make_robot(client_id=2)
+    mapper = sm.HostMapper(CFG, robot.state)
+    robot.mapper = mapper
+    svc = cbus.ClientService(broker, robot, SPEC)
+    stop = threading.Event()
+
+    def pump():
+        while not stop.is_set():
+            svc.step(timeout_ms=50)
+
+    t = threading.Thread(target=pump)
+    t.start()
+    try:
+        vio = cbus.RemoteVIO(broker)
+        vio.toggle_mapping(2, False)
+        assert not robot.mapping_enabled and not mapper.mapping_enabled
+        vio.toggle_mapping(2, True)
+        assert robot.mapping_enabled and mapper.mapping_enabled
+        assert vio.finish_map(2) is True
+        assert robot.finished and not mapper.mapping_enabled
+        assert vio.finish_map(2) is False      # idempotent
+
+        # server-side pose push also broadcasts stamped MapTransforms
+        sub = cbus.BusClient(broker)
+        sub.subscribe("client2/submap_pose_tf")
+        proxy = cbus.RemoteClient(broker, client_id=2, spec=SPEC)
+        new_pose = np.array([1, 0, 0, 0, 0.25, 0.5, -0.75], np.float32)
+        proxy.apply_pose_updates([(0, jnp.asarray(new_pose))])
+        msg = sub.poll(5000)
+        assert msg is not None and msg[0] == "pub"
+        stamp, sid, pose = wire.unpack_map_transform(msg[2])
+        assert sid == 0 and stamp > 0
+        np.testing.assert_allclose(pose, new_pose, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(robot.state.collection.T_odom_submap)[0], new_pose,
+            atol=1e-6)
+        sub.close()
+    finally:
+        stop.set()
+        t.join()
+
+
+def test_client_pose_history_over_bus(broker):
+    """Client get_pose_history service (coxgraph_client.cpp:38-45 →
+    ClientHandler::requestPoseHistory, client_handler.cpp:149-160)."""
+    robot = make_robot(client_id=3)
+    svc = cbus.ClientService(broker, robot, SPEC)
+    stop = threading.Event()
+
+    def pump():
+        while not stop.is_set():
+            svc.step(timeout_ms=50)
+
+    t = threading.Thread(target=pump)
+    t.start()
+    try:
+        proxy = cbus.RemoteClient(broker, client_id=3, spec=SPEC)
+        stamps, poses = proxy.get_pose_history()
+        ls, lp = robot.get_pose_history()
+        np.testing.assert_allclose(stamps, np.asarray(ls))
+        np.testing.assert_allclose(poses, np.asarray(lp), atol=1e-6)
+        assert poses.shape[1] == 7
+    finally:
+        stop.set()
+        t.join()

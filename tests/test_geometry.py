@@ -122,3 +122,30 @@ def test_jit_and_vmap():
     Ts = jax.vmap(lambda s: random_pose(jax.random.PRNGKey(s)))(jnp.arange(4))
     out = jax.jit(jax.vmap(geo.inverse))(Ts)
     assert out.shape == (4, 7)
+
+
+def test_odometry_transformer():
+    """OdometryTransformPublisher parity
+    (odometry_transform_publisher.cpp:30-110): T_O_B = T_G_O^-1 T_G_B and
+    twist re-expressed through R_G_O^-1."""
+    from coxgraph_tpu.frontends.replay import OdometryTransformer
+
+    ot = OdometryTransformer(origin_xyz=(1.0, -2.0, 0.5), origin_yaw=0.7,
+                             odom_frame="odom_0", base_frame="base_0")
+    assert ot.frames() == {}
+    q = np.array([np.cos(0.35), 0, 0, np.sin(0.35)], np.float32)
+    T_G_O = np.concatenate([q, np.array([1.0, -2.0, 0.5], np.float32)])
+    T_G_B = np.asarray(geo.from_xyzyaw(jnp.array([3.0, 1.0, 2.0, 1.2])))
+    lin = np.array([1.0, 0.0, 0.0])
+    ang = np.array([0.0, 0.0, 0.5])
+    T_O_B, lin_o, ang_o = ot.transform(T_G_B, lin, ang)
+    expect = geo.compose_np(geo.inverse_np(T_G_O), T_G_B)
+    np.testing.assert_allclose(T_O_B, expect, atol=1e-5)
+    # velocity: pure yaw rotation by -0.7 → [cos(-0.7), sin(-0.7), 0]
+    np.testing.assert_allclose(lin_o, [np.cos(-0.7), np.sin(-0.7), 0.0],
+                               atol=1e-5)
+    np.testing.assert_allclose(ang_o, [0.0, 0.0, 0.5], atol=1e-5)
+    assert ("odom_0", "base_0") in ot.frames()
+    # identity origin is a passthrough
+    ot0 = OdometryTransformer()
+    np.testing.assert_allclose(ot0.transform(T_G_B), T_G_B, atol=1e-6)

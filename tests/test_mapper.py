@@ -235,3 +235,74 @@ def test_host_mapper_step_batch_matches_steps():
     np.testing.assert_array_equal(
         np.asarray(b.state.collection.hist_count),
         np.asarray(a.state.collection.hist_count))
+
+
+def test_toggle_mapping_and_finish_map():
+    """toggle_mapping drops frames (start_mapping.sh:2-5); finish_map runs
+    a last local PGO and latches integration off
+    (finish_experiment.sh:3-4)."""
+    scene = syn.default_scene()
+    T = syn.orbit_trajectory(1, scene.room_center, radius=2.5)[0]
+    depth, color = syn.render_depth(scene, CFG.intrinsics, T)
+    hm = sm.HostMapper(CFG)
+    hm.mapping_enabled = False
+    assert hm.step(depth, color, T, 0.0) is False
+    assert hm.n_submaps == 0
+    assert hm.step_batch(depth[None], color[None], T[None], [0.0]) == 0
+    hm.mapping_enabled = True
+    assert hm.step(depth, color, T, 0.0) is True
+    assert hm.n_submaps == 1
+    hm.finish_map()
+    assert not hm.mapping_enabled
+    assert hm.step(depth, color, T, 1e6) is False
+    assert hm.n_submaps == 1
+
+    from coxgraph_tpu.server.client_interface import InProcessClient
+    robot = InProcessClient(0, CFG, hm.state)
+    robot.mapper = hm
+    hm.mapping_enabled = True
+    robot.toggle_mapping(False)
+    assert not hm.mapping_enabled and not robot.mapping_enabled
+    robot.toggle_mapping(True)
+    assert hm.mapping_enabled
+    assert robot.finish_map() is True
+    assert robot.finished and not hm.mapping_enabled
+    assert robot.finish_map() is False          # idempotent
+    robot.toggle_mapping(True)                  # finished ⇒ stays off
+    assert not robot.mapping_enabled
+
+
+def test_merge_cross_resolution():
+    """Cross-spec resampling merge: a client-resolution (0.1 m) layer fused
+    into finer (0.05 m) and coarser (0.2 m) destination grids must still
+    carry the true surface (the server meshes at its own voxel size,
+    coxgraph_server.launch:5-6, while submaps stay at client resolution)."""
+    scene = syn.default_scene()
+    depth, color = syn.render_depth(
+        scene, CFG.intrinsics,
+        syn.orbit_trajectory(1, scene.room_center, radius=2.5)[0])
+    src = vx.create_tsdf_layer(SPEC)
+    src = tsdf_ops.integrate_frame(SPEC, CFG.integrator, CFG.intrinsics,
+                                   src, depth, color, geo.identity())
+    T_pose = syn.orbit_trajectory(1, scene.room_center, radius=2.5)[0]
+    for vs, gd, mb in ((0.05, 64, 4096), (0.2, 16, 256)):
+        dspec = vx.VoxelGridSpec(voxel_size=vs, voxels_per_side=8,
+                                 grid_dim=gd, max_blocks=mb,
+                                 truncation=3 * vs)
+        dst = vx.create_tsdf_layer(dspec)
+        dst = merge_ops.merge_layer_into(dspec, dst, src, T_pose,
+                                         src_spec=SPEC)
+        # single-frame weights are distance-attenuated (≤1, ~0 at the
+        # truncation edge) — any positive fused weight marks an observed
+        # voxel here
+        live = np.asarray(dst.weight > 0.01)
+        centers = vx.voxel_centers_of_block(dspec, dst.block_coords)
+        # src is in camera frame (integrated with identity); posing it by
+        # the camera's world pose makes the dst frame the world frame
+        true = np.asarray(syn.scene_sdf(scene, centers)).reshape(
+            centers.shape[0], -1)
+        band = 1.5 * max(vs, SPEC.voxel_size)
+        near = live & (np.abs(true) < band)
+        assert near.sum() > 50, (vs, near.sum())
+        err = np.abs(np.asarray(dst.sdf)[near] - true[near])
+        assert np.median(err) < max(SPEC.voxel_size, vs), (vs, np.median(err))

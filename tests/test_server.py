@@ -236,3 +236,40 @@ def test_evaluate_residuals_by_type(world):
     # verbose optimize() embeds the same report in its info dict
     info = server.optimize()
     assert "residuals" in info
+
+
+def test_auto_global_mesh_event(world):
+    """1 Hz generateGlobalMeshEvent parity (coxgraph_server.h:275-283):
+    no mesh until initialized; regenerate after 4 timeline updates per
+    client; counter resets afterwards."""
+    scene, trajs, X, clients = world
+    # event-logic test: solve quality is irrelevant, keep the solver tiny
+    server = make_server(list(clients), publish_global_mesh_on_update=True,
+                         solver=fs.pg.SolverConfig(iterations=1),
+                         registration_weight=0.0)
+    import dataclasses as _dc
+    server.cfg = _dc.replace(
+        server.cfg,
+        registration=fs.reg.RegistrationConfig(max_points=64, iterations=1))
+    server.map_fusion(true_fusion_msg(trajs, 3, 3))
+    coarse = vx.VoxelGridSpec(voxel_size=0.2, voxels_per_side=8,
+                              grid_dim=16, max_blocks=512, truncation=0.6)
+    # not initialized: timeline updates alone never trigger
+    for _ in range(4 * len(clients)):
+        server.time_line_update()
+    assert server.generate_global_mesh_event(mesh_spec=coarse) is None
+    # first explicit mesh initializes the auto path
+    server.get_final_global_mesh(None, mesh_spec=coarse)
+    server.global_mesh_need_update = 0
+    for _ in range(4 * len(clients) - 1):
+        server.time_line_update()
+        assert server.generate_global_mesh_event(mesh_spec=coarse) is None
+    server.time_line_update()
+    out = server.generate_global_mesh_event(mesh_spec=coarse)
+    assert out is not None and out[1].shape[0] > 0
+    assert server.global_mesh_need_update == 0
+    # disabled via config → never fires
+    server2 = make_server(list(clients))
+    server2.global_mesh_initialized = True
+    server2.global_mesh_need_update = 4 * len(clients)
+    assert server2.generate_global_mesh_event() is None

@@ -84,3 +84,12 @@ def test_bandwidth_log():
     log.record("submap_0_2", 55555, 1.0)
     assert log.total_bytes() == 67900
     assert "2 transfers" in log.summary()
+
+
+def test_map_transform_roundtrip():
+    from coxgraph_tpu.comm import wire
+    pose = np.array([1, 0, 0, 0, 0.5, -1.0, 2.0], np.float32)
+    buf = wire.pack_map_transform(12.25, 7, pose)
+    stamp, sid, out = wire.unpack_map_transform(buf)
+    assert stamp == 12.25 and sid == 7
+    np.testing.assert_allclose(out, pose)
