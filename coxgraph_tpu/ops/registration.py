@@ -40,6 +40,7 @@ class RegistrationConfig:
     damping: float = 1e-3
 
 
+@partial(jax.jit, static_argnums=(0, 2))
 def extract_surface_points(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
                            cfg: RegistrationConfig) -> Tuple[Array, Array]:
     """→ (points (P,3) in the layer frame, mask (P,)). Fixed capacity;
@@ -67,6 +68,7 @@ def _point_residual(spec, layerB, p_B, sdf_A):
     return jnp.where(ok, s - sdf_A, 0.0), ok
 
 
+@partial(jax.jit, static_argnums=(0,))
 def registration_residuals(spec: vx.VoxelGridSpec, layerB: vx.TsdfLayer,
                            pts_A: Array, sdf_A: Array, mask_A: Array,
                            T_O_A: Array, T_O_B: Array):
@@ -78,11 +80,15 @@ def registration_residuals(spec: vx.VoxelGridSpec, layerB: vx.TsdfLayer,
     return jnp.where(ok, r, 0.0), ok
 
 
+@partial(jax.jit, static_argnums=(0,))
 def registration_normal_eq(spec: vx.VoxelGridSpec, layerB: vx.TsdfLayer,
                            pts_A: Array, sdf_A: Array, mask_A: Array,
                            T_O_A: Array, T_O_B: Array,
                            huber_delta: float = 0.1):
-    """GN contribution of one registration pair.
+    """GN contribution of one registration pair (one compiled program,
+    reused across every pair and GN iteration — eager dispatch here cost
+    ~0.9 s/pair/iteration on host, and every eager op is a tunnel round
+    trip on remote-attached TPUs).
 
     Returns (H (12,12), b (12,), cost, n_valid) where the 12 dims are the
     right-multiplicative tangents (δ_A, δ_B)."""
