@@ -62,6 +62,18 @@ def extract_surface_points(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
     return pts, mask
 
 
+@partial(jax.jit, static_argnums=(0, 2))
+def surface_point_cache(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
+                        cfg: RegistrationConfig):
+    """→ (pts (P,3), sdf (P,), mask (P,)): the per-submap registration
+    point cache (voxgraph VoxgraphSubmap's cached ISDF samples, SURVEY.md
+    §2.9) — extracted once per submap version, reused by every
+    registration pair and GN iteration."""
+    pts, mask = extract_surface_points(spec, layer, cfg)
+    s, _, ok = vx.sample_tsdf_trilinear(spec, layer, pts)
+    return pts, jnp.where(ok, s, 0.0), mask & ok
+
+
 def _point_residual(spec, layerB, p_B, sdf_A):
     """sdf_B(p in B frame) − sdf_A; invalid samples → 0 residual."""
     s, w, ok = vx.sample_tsdf_trilinear(spec, layerB, p_B)

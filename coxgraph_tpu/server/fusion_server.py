@@ -126,6 +126,9 @@ class ServerSubmap:
     end_time: float
     hist_stamps: np.ndarray
     hist_poses: Array
+    # (pts, sdf, mask) registration-point cache for this layer version
+    # (voxgraph's per-submap ISDF sample cache); invalidated on refresh
+    reg_cache: Optional[tuple] = None
 
 
 class CoxgraphServer:
@@ -417,11 +420,14 @@ class CoxgraphServer:
         skip = [(self.cli_ser[(c, k)], self.cli_ser[(c, k + 1)])
                 for (c, k) in list(self.cli_ser)
                 if (c, k + 1) in self.cli_ser]
+        caches = [s.reg_cache for s in self.submaps]
         new_poses, info = global_opt.optimize_two_phase(
             poses, self.constraints, self.cfg.spec, layers[:n],
             reg_cfg=self.cfg.registration, solver_cfg=self.cfg.solver,
             registration_weight=self.cfg.registration_weight,
-            skip_pairs=skip)
+            skip_pairs=skip, reg_caches=caches)
+        for s, c in zip(self.submaps, caches):
+            s.reg_cache = c
         self._apply_global_poses(new_poses)
         self._align_client_frames(new_poses)
         self._push_pose_updates()

@@ -137,14 +137,21 @@ def make_registration_pairs(spec: vx.VoxelGridSpec,
                             layers: Sequence[vx.TsdfLayer],
                             pairs: Sequence[Tuple[int, int]],
                             cfg: reg.RegistrationConfig,
+                            caches: Optional[list] = None,
                             ) -> List[RegistrationPair]:
+    """``caches`` (mutable, len == len(layers)) holds per-submap
+    (pts, sdf, mask) registration-point caches — filled lazily here, the
+    reference's per-submap ISDF sample cache (SURVEY.md §2.9)."""
     out = []
     for (i, j) in pairs:
-        pts, mask = reg.extract_surface_points(spec, layers[i], cfg)
-        s, _, ok = vx.sample_tsdf_trilinear(spec, layers[i], pts)
-        out.append(RegistrationPair(
-            i=i, j=j, pts_i=pts, sdf_i=jnp.where(ok, s, 0.0),
-            mask_i=mask & ok))
+        if caches is not None and caches[i] is not None:
+            pts, sdf, mask = caches[i]
+        else:
+            pts, sdf, mask = reg.surface_point_cache(spec, layers[i], cfg)
+            if caches is not None:
+                caches[i] = (pts, sdf, mask)
+        out.append(RegistrationPair(i=i, j=j, pts_i=pts, sdf_i=sdf,
+                                    mask_i=mask))
     return out
 
 
@@ -158,6 +165,7 @@ def optimize_two_phase(poses: Array,
                        reg_iterations: int = 6,
                        fixed: Optional[Array] = None,
                        skip_pairs: Optional[Sequence[Tuple[int, int]]] = None,
+                       reg_caches: Optional[list] = None,
                        ) -> Tuple[Array, dict]:
     """Phase 1: LM over relative-pose constraints. Phase 2: joint GN adding
     registration residuals of overlapping pairs. Returns (poses, info)."""
@@ -173,7 +181,8 @@ def optimize_two_phase(poses: Array,
 
     pairs_idx = find_overlapping_pairs(spec, layers, poses,
                                        skip_adjacent_same_client=skip_pairs)
-    rpairs = make_registration_pairs(spec, layers, pairs_idx, reg_cfg)
+    rpairs = make_registration_pairs(spec, layers, pairs_idx, reg_cfg,
+                                     caches=reg_caches)
     info = {"phase1_cost": float(res1.cost),
             "n_registration_pairs": len(rpairs)}
     if not rpairs:
