@@ -240,6 +240,46 @@ class CoxgraphServer:
         periodic republish timer (server_visualizer.h:194-203)."""
         return dict(self.mesh_collection)
 
+    # flat per-client palette (msg_converter.h:239-257 getColor mode 1:
+    # cid 0/1/2 → R/G/B), cycled past 3 clients
+    _CLIENT_COLORS = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+
+    def combined_submap_mesh(self, color_mode: int = 0,
+                             ply_path: Optional[str] = None):
+        """Combine the client-pushed submap meshes in the current global
+        frame (ServerVisualizer's per-submap Open3D mesh combination,
+        server_visualizer.cpp:67-121, built on o3dMeshFromMsg,
+        msg_converter.h:202-264). color_mode 0 keeps the meshes' RGB;
+        1 paints each client a flat color. Meshes whose submap hasn't
+        reached the collection yet are skipped (no pose). → (vertices
+        (V,3) f32, faces (F,3) u32, colors (V,3) u8)."""
+        verts, faces, cols = [], [], []
+        base = 0
+        for (cid, csid), m in sorted(self.mesh_collection.items()):
+            sid = self.cli_ser.get((cid, csid))
+            if sid is None:
+                continue
+            T = np.asarray(self.submaps[sid].T_G_submap, np.float32)
+            v = geo.transform_points_np(T, m.vertices())
+            verts.append(v)
+            faces.append(np.asarray(m.faces, np.uint32) + base)
+            base += v.shape[0]
+            if color_mode == 1:
+                cols.append(np.broadcast_to(
+                    self._CLIENT_COLORS[cid % 3], (v.shape[0], 3)).copy())
+            else:
+                cols.append(np.asarray(m.vcolors, np.uint8))
+        if not verts:
+            return (np.zeros((0, 3), np.float32),
+                    np.zeros((0, 3), np.uint32), np.zeros((0, 3), np.uint8))
+        V = np.concatenate(verts).astype(np.float32)
+        F = np.concatenate(faces).astype(np.uint32)
+        C = np.concatenate(cols).astype(np.uint8)
+        if ply_path:
+            export.write_ply_indexed(ply_path, V, F, C)
+        return V, F, C
+
     def client_pose_updates(self, cid: int,
                             updates: List[Tuple[int, Array]]) -> None:
         """Client local-PGO pose push: update the stored client-odom pose

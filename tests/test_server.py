@@ -273,3 +273,45 @@ def test_auto_global_mesh_event(world):
     server2.global_mesh_initialized = True
     server2.global_mesh_need_update = 4 * len(clients)
     assert server2.generate_global_mesh_event() is None
+
+
+def test_combined_submap_mesh_coloring(world):
+    """ServerVisualizer-style combination of client-pushed submap meshes
+    with per-client flat coloring (server_visualizer.cpp:67-121,
+    msg_converter.h:202-264 color_mode 1)."""
+    from coxgraph_tpu.comm.mesh_comm import MeshWithHistory
+
+    scene, trajs, X, clients = world
+    server = make_server(list(clients))
+
+    def mk(cid, csid):
+        q = np.array([[0, 0, 0], [100, 0, 0], [0, 100, 0]], np.uint16)
+        return MeshWithHistory(
+            cid, csid, 0.0, 1.0, np.zeros(3, np.float32), 0.01,
+            q, np.full((3, 3), 128, np.uint8),
+            np.array([[0, 1, 2]], np.uint32), np.zeros(1, np.uint16),
+            np.zeros(1), np.asarray(geo.identity())[None].astype(np.float32))
+
+    I = jnp.asarray(np.array([1, 0, 0, 0, 0, 0, 0], np.float32))
+    Tx = jnp.asarray(np.array([1, 0, 0, 0, 5.0, 0, 0], np.float32))
+    for k, (cid, T) in enumerate([(0, I), (1, Tx)]):
+        server.submaps.append(fs.ServerSubmap(
+            sid=k, client_id=cid, client_submap_id=0, layer=None,
+            T_cli_submap=I, T_G_submap=T, start_time=0.0, end_time=1.0,
+            hist_stamps=np.zeros(0), hist_poses=jnp.zeros((0, 7))))
+        server.cli_ser[(cid, 0)] = k
+        server.add_submap_mesh(cid, 0, mk(cid, 0))
+    # a mesh with no registered submap is skipped
+    server.add_submap_mesh(2, 7, mk(2, 7))
+
+    V, F, C = server.combined_submap_mesh(color_mode=1)
+    assert V.shape == (6, 3) and F.shape == (2, 3)
+    np.testing.assert_allclose(V[:3], [[0, 0, 0], [1, 0, 0], [0, 1, 0]],
+                               atol=1e-6)
+    np.testing.assert_allclose(V[3:], [[5, 0, 0], [6, 0, 0], [5, 1, 0]],
+                               atol=1e-6)
+    assert (F[1] == F[0] + 3).all()
+    assert (C[:3] == [255, 0, 0]).all() and (C[3:] == [0, 255, 0]).all()
+    # color_mode 0 keeps the mesh RGB
+    _, _, C0 = server.combined_submap_mesh(color_mode=0)
+    assert (C0 == 128).all()
