@@ -179,6 +179,17 @@ class CoxgraphServer:
     # Fusion gating (needRefuse/needToFuse, coxgraph_server.cpp:372-394)
     # ------------------------------------------------------------------
 
+    def global_frames(self, prefix: str = "mission"):
+        """{(mission frame, client odom frame): T_G_cli} — the pull
+        equivalent of GlobalTfController's 100 Hz T_G_Client broadcast
+        (global_tf_controller.cpp:40-46, frame '<prefix>_g',
+        global_tf_controller.h:122). Gated on in_control like the
+        reference's publisher (global_tf_controller.cpp:41)."""
+        if not self.in_control:
+            return {}
+        return {(f"{prefix}_g", f"client{cid}_odom"): T
+                for cid, T in self.T_G_cli.items()}
+
     def need_to_fuse(self, cid_a: int, cid_b: int, t: float) -> bool:
         key = (min(cid_a, cid_b), max(cid_a, cid_b))
         last = self.last_fusion_time.get(key)

@@ -315,3 +315,17 @@ def test_combined_submap_mesh_coloring(world):
     # color_mode 0 keeps the mesh RGB
     _, _, C0 = server.combined_submap_mesh(color_mode=0)
     assert (C0 == 128).all()
+
+
+def test_global_frames_tf_tree(world):
+    """GlobalTfController T_G_Client broadcast equivalent, in_control
+    gated (global_tf_controller.cpp:40-46)."""
+    scene, trajs, X, clients = world
+    server = make_server(list(clients))
+    fr = server.global_frames()
+    assert set(fr) == {("mission_g", "client0_odom"),
+                       ("mission_g", "client1_odom")}
+    np.testing.assert_allclose(fr[("mission_g", "client0_odom")],
+                               np.asarray(geo.identity()))
+    server.control_trigger(False)
+    assert server.global_frames() == {}
