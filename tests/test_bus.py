@@ -375,3 +375,44 @@ def test_client_pose_history_over_bus(broker):
     finally:
         stop.set()
         t.join()
+
+
+def test_server_survives_unreachable_client(broker):
+    """ClientHandler FAILED semantics (client_handler.cpp:103,
+    coxgraph_server.cpp:287-295): a fusion whose client can't serve the
+    submap is queued for retry, not a crash; it lands once the robot
+    appears."""
+    from coxgraph_tpu.server import fusion_server as fs
+    from coxgraph_tpu.core import geometry as geo
+    from coxgraph_tpu.frontends import synthetic as syn
+
+    # nobody serves client 0/1 yet — requests come back empty (None)
+    proxies = [cbus.RemoteClient(broker, client_id=cid, spec=SPEC,
+                                 timeout_ms=2000) for cid in range(2)]
+    server = fs.CoxgraphServer(
+        fs.ServerConfig(spec=SPEC, max_submaps=16, refuse_interval=0.0),
+        proxies)
+    mf = fs.MapFusionMsg(from_client=0, from_time=0.0, to_client=1,
+                         to_time=0.0, T_from_to=geo.identity())
+    assert server.map_fusion(mf) is False
+    assert len(server.future_queue) == 1
+
+    # bring both robots up and retry via a timeline update
+    robots = [make_robot(client_id=cid) for cid in range(2)]
+    svcs = [cbus.ClientService(broker, r, SPEC) for r in robots]
+    stop = threading.Event()
+
+    def pump():
+        while not stop.is_set():
+            for s in svcs:
+                s.step(timeout_ms=10)
+
+    t = threading.Thread(target=pump)
+    t.start()
+    try:
+        server.time_line_update()
+        assert len(server.future_queue) == 0
+        assert len(server.submaps) >= 2
+    finally:
+        stop.set()
+        t.join()
