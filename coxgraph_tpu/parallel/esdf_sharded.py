@@ -288,3 +288,24 @@ def gather_to_layer(spec: vx.VoxelGridSpec, tsdf: vx.TsdfLayer,
         block_coords=tsdf.block_coords,
         num_blocks=tsdf.num_blocks,
     )
+
+
+def ici_bytes_per_update(spec: vx.VoxelGridSpec,
+                         cfg: ShardedEsdfConfig) -> dict:
+    """Static ICI traffic accounting for one sharded ESDF batch update —
+    the exchange-layer byte counters promised by SURVEY.md §5.1/§5.8
+    (node_evaluator bandwidth parity for the intra-slice fabric). All
+    collective payloads here have static shapes, so the counts are exact:
+    each halo refresh moves the edge-block distances (halo_blocks · v³
+    f32) once per direction per device, once at setup plus once per
+    Jacobi sweep; setup additionally ships edge coords + masks."""
+    v3 = spec.voxels_per_side ** 3
+    n_sweeps = math.ceil(cfg.esdf.max_distance / spec.voxel_size) \
+        + cfg.esdf.extra_iters
+    per_refresh = 2 * cfg.halo_blocks * v3 * 4          # both directions
+    setup = 2 * cfg.halo_blocks * (3 * 4 + 1)           # coords + mask
+    return {
+        "n_sweeps": n_sweeps,
+        "per_sweep_bytes": per_refresh,
+        "per_device_bytes": setup + (n_sweeps + 1) * per_refresh,
+    }

@@ -226,3 +226,23 @@ def fleet_optimize(cfg: sm.MapperConfig, mesh: Mesh, fleet: sm.MapperState,
 
     col = dataclasses.replace(fleet.collection, T_odom_submap=new_T)
     return dataclasses.replace(fleet, collection=col), poses
+
+
+def ici_bytes_per_optimize(cfg: sm.MapperConfig, n_robots: int,
+                           solver_cfg: pg.SolverConfig = pg.SolverConfig(),
+                           ) -> dict:
+    """Static ICI traffic accounting for one fleet_optimize call (the
+    exchange-layer byte counters of SURVEY.md §5.1/§5.8): per LM
+    iteration each device reduces H (6N·6N f32) + b (6N) + the scalar
+    cost over the robot axis, after one initial all-gather of the pose
+    pool (N·7 f32). Counts are the logical reduced payload per device; a
+    ring all-reduce moves ≈2·(n-1)/n of that on the wire."""
+    N = n_robots * cfg.max_submaps
+    d = 6 * N
+    per_iter = (d * d + d + 1) * 4
+    return {
+        "n_iterations": solver_cfg.iterations,
+        "all_gather_bytes": N * 7 * 4,
+        "per_iteration_bytes": per_iter,
+        "per_device_bytes": N * 7 * 4 + solver_cfg.iterations * per_iter,
+    }

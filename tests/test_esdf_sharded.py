@@ -84,3 +84,30 @@ def test_sharded_esdf_boundary_propagation():
     right = coords[:, 0] == coords[:, 0].max()
     d_right = np.asarray(merged.dist)[:n][right]
     assert (np.abs(d_right) < ecfg.max_distance - 1e-3).any()
+
+
+def test_ici_byte_accounting():
+    """Exchange-layer byte counters (SURVEY.md §5.1): exact static counts
+    for the sharded-ESDF halo traffic and the fleet psum reduction."""
+    import math
+    from coxgraph_tpu.parallel import esdf_sharded as es, fleet
+    from coxgraph_tpu.mapper import submap_mapper as sm
+    from coxgraph_tpu.solver import pose_graph as pg
+
+    spec = SPEC
+    cfg = es.ShardedEsdfConfig(per_device_blocks=64, halo_blocks=8)
+    acct = es.ici_bytes_per_update(spec, cfg)
+    v3 = spec.voxels_per_side ** 3
+    n_sweeps = math.ceil(cfg.esdf.max_distance / spec.voxel_size) \
+        + cfg.esdf.extra_iters
+    assert acct["n_sweeps"] == n_sweeps
+    assert acct["per_sweep_bytes"] == 2 * 8 * v3 * 4
+    assert acct["per_device_bytes"] > acct["n_sweeps"] * acct[
+        "per_sweep_bytes"]
+
+    mcfg = sm.MapperConfig(spec=spec, max_submaps=4)
+    f = fleet.ici_bytes_per_optimize(mcfg, n_robots=2,
+                                     solver_cfg=pg.SolverConfig(iterations=3))
+    N, d = 8, 48
+    assert f["per_iteration_bytes"] == (d * d + d + 1) * 4
+    assert f["per_device_bytes"] == N * 7 * 4 + 3 * f["per_iteration_bytes"]
