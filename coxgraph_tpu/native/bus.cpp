@@ -27,6 +27,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
 #include <cstdint>
 #include <cstring>
 #include <deque>
@@ -118,6 +119,50 @@ struct Broker {
   std::map<std::string, int> services;             // service → provider fd
   std::map<uint64_t, std::pair<int, uint64_t>> pending;  // bid → (fd, cid)
   std::atomic<uint64_t> next_bid{1};
+  // Requests for not-yet-advertised services are parked and re-dispatched
+  // when the provider's ADV arrives (ROS waitForService semantics — a
+  // request racing the provider's advertisement must not fail). A reaper
+  // answers expired waits with an empty REP; the grace stays well under
+  // typical requester timeouts so a truly unknown service still resolves
+  // to an empty reply rather than a client-side timeout.
+  static constexpr int kServiceWaitMs = 1000;
+  struct Waiting {
+    Frame f;
+    int requester_fd;
+    std::chrono::steady_clock::time_point deadline;
+  };
+  std::map<std::string, std::vector<Waiting>> waiting;
+  std::thread reaper_thread;
+
+  void reap_loop() {
+    while (running.load()) {
+      std::this_thread::sleep_for(std::chrono::milliseconds(100));
+      auto now = std::chrono::steady_clock::now();
+      std::vector<std::pair<Conn, Frame>> expired;
+      {
+        std::lock_guard<std::mutex> g(mu);
+        for (auto& kv : waiting) {
+          auto& v = kv.second;
+          for (auto it = v.begin(); it != v.end();) {
+            if (it->deadline <= now) {
+              auto c = conns.find(it->requester_fd);
+              if (c != conns.end()) {
+                Frame rep;
+                rep.type = 5;
+                rep.reqid = it->f.reqid;
+                rep.topic = it->f.topic;
+                expired.emplace_back(c->second, rep);
+              }
+              it = v.erase(it);
+            } else {
+              ++it;
+            }
+          }
+        }
+      }
+      for (auto& e : expired) write_frame(e.first.fd, *e.first.wmu, e.second);
+    }
+  }
 
   void drop(int fd) {
     std::lock_guard<std::mutex> g(mu);
@@ -128,6 +173,14 @@ struct Broker {
     }
     for (auto it = services.begin(); it != services.end();) {
       if (it->second == fd) it = services.erase(it); else ++it;
+    }
+    for (auto& kv : waiting) {
+      auto& v = kv.second;
+      v.erase(std::remove_if(v.begin(), v.end(),
+                             [fd](const Waiting& w) {
+                               return w.requester_fd == fd;
+                             }),
+              v.end());
     }
     ::close(fd);
   }
@@ -161,9 +214,26 @@ struct Broker {
           for (auto& c : targets) write_frame(c.fd, *c.wmu, f);
           break;
         }
-        case 3: {  // ADV
-          std::lock_guard<std::mutex> g(mu);
-          services[f.topic] = fd;
+        case 3: {  // ADV — register and re-dispatch any parked requests
+          std::vector<std::pair<Frame, uint64_t>> parked;
+          {
+            std::lock_guard<std::mutex> g(mu);
+            services[f.topic] = fd;
+            auto it = waiting.find(f.topic);
+            if (it != waiting.end()) {
+              for (auto& w : it->second) {
+                uint64_t bid = next_bid.fetch_add(1);
+                pending[bid] = {w.requester_fd, w.f.reqid};
+                parked.emplace_back(w.f, bid);
+              }
+              waiting.erase(it);
+            }
+          }
+          for (auto& p : parked) {
+            Frame fwd = p.first;
+            fwd.reqid = p.second;
+            write_frame(fd, *wmu, fwd);
+          }
           break;
         }
         case 4: {  // REQ — rewrite id, forward to provider
@@ -183,12 +253,12 @@ struct Broker {
             fwd.reqid = bid;
             write_frame(provider.fd, *provider.wmu, fwd);
           } else {
-            // no provider: empty REP so the requester unblocks
-            Frame rep;
-            rep.type = 5;
-            rep.reqid = f.reqid;
-            rep.topic = f.topic;
-            write_frame(fd, *wmu, rep);
+            // no provider yet: park until an ADV arrives or the grace
+            // period expires (reaper then sends the empty REP)
+            std::lock_guard<std::mutex> g(mu);
+            waiting[f.topic].push_back(
+                {f, fd, std::chrono::steady_clock::now() +
+                            std::chrono::milliseconds(kServiceWaitMs)});
           }
           break;
         }
@@ -282,6 +352,7 @@ int cox_bus_serve(uint16_t port) {
   auto b = std::make_unique<Broker>();
   b->listen_fd = fd;
   b->accept_thread = std::thread(&Broker::accept_loop, b.get());
+  b->reaper_thread = std::thread(&Broker::reap_loop, b.get());
   std::lock_guard<std::mutex> g(g_mu);
   g_brokers.push_back(std::move(b));
   return static_cast<int>(g_brokers.size()) - 1;
@@ -300,6 +371,7 @@ void cox_bus_stop(int broker) {
     for (auto& kv : b->conns) ::shutdown(kv.first, SHUT_RDWR);
   }
   if (b->accept_thread.joinable()) b->accept_thread.join();
+  if (b->reaper_thread.joinable()) b->reaper_thread.join();
 }
 
 int cox_bus_connect(const char* host, uint16_t port) {
