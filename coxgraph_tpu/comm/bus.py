@@ -368,7 +368,8 @@ class ServerService:
             self.bus.subscribe(f"client{cid}/map_pose_updates")
             self.bus.subscribe(f"client{cid}/submap_mesh")
         for srv in ("need_to_fuse", "control_trigger", "state_query",
-                    "get_final_global_mesh", "get_pose_history"):
+                    "get_final_global_mesh", "get_pose_history",
+                    "save_pose_history"):
             self.bus.advertise(f"server/{srv}")
 
     def _on_pub(self, topic: str, payload: bytes) -> None:
@@ -414,6 +415,10 @@ class ServerService:
             stamps, poses = self.server.pose_history(cid)
             return pickle.dumps((np.asarray(stamps), np.asarray(poses)),
                                 protocol=4)
+        if name == "save_pose_history":
+            # the reference's FilePath get_pose_history
+            # (getPoseHistoryCallback, coxgraph_server.cpp:143-187)
+            return self.server.save_pose_history(payload.decode()).encode()
         return b""
 
     def step(self, timeout_ms: int = 0) -> bool:
@@ -491,6 +496,14 @@ class RemoteVIO:
         out = self.bus.request("server/get_pose_history",
                                struct.pack("<i", client_id), self.timeout_ms)
         return pickle.loads(out)
+
+    def save_pose_history(self, dir_path: str) -> str:
+        """FilePath get_pose_history (finish_experiment.sh:6,
+        getPoseHistoryCallback coxgraph_server.cpp:143-187) — writes all
+        clients' global-frame trajectories into one TUM file; → its path."""
+        out = self.bus.request("server/save_pose_history",
+                               dir_path.encode(), self.timeout_ms)
+        return out.decode()
 
     def toggle_mapping(self, client_id: int, enable: bool) -> bool:
         """toggleMapping service client (vio_interface.h:68-80,

@@ -609,6 +609,30 @@ class CoxgraphServer:
                                      clean.colors)
         return clean
 
+    def save_pose_history(self, dir_path: str) -> str:
+        """FilePath get_pose_history service body
+        (getPoseHistoryCallback, coxgraph_server.cpp:143-187): pull every
+        client's full odom-frame trajectory via its pose-history service,
+        transform into the global frame by T_G_cli, and write all of them
+        into one TUM file '<dir>/coxgraph_server_traj.txt'."""
+        import os
+
+        path = os.path.join(dir_path, "coxgraph_server_traj.txt")
+        with open(path, "w") as f:
+            for cid, c in self.clients.items():
+                stamps, poses = c.get_pose_history()
+                stamps = np.asarray(stamps)
+                poses = np.asarray(poses)
+                if len(stamps) == 0:
+                    continue
+                T = np.asarray(self.T_G_cli[cid], np.float32)
+                for t, p in zip(stamps,
+                                geo.compose_np(T[None, :], poses)):
+                    qw, qx, qy, qz, x, y, z = p
+                    f.write(f"{t:.6f} {x:.7f} {y:.7f} {z:.7f} "
+                            f"{qx:.7f} {qy:.7f} {qz:.7f} {qw:.7f}\n")
+        return path
+
     def pose_history(self, client_id: int):
         """Global-frame trajectory of one client from its submap histories
         (PoseHistorySrv / savePoseHistoryToFile equivalent). Poses sharing

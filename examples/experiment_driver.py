@@ -82,7 +82,6 @@ def main() -> None:
     from coxgraph_tpu.comm import bus as cbus
     from coxgraph_tpu.core import geometry as geo
     from coxgraph_tpu.core import voxel as vx
-    from coxgraph_tpu.eval import export
     from coxgraph_tpu.frontends import replay
     from coxgraph_tpu.server import fusion_server as fs
     from coxgraph_tpu.solver import pose_graph as pg
@@ -141,18 +140,11 @@ def main() -> None:
     print(f"global mesh: {verts.shape[0]} tris → {ply}", flush=True)
     assert verts.shape[0] > 200
 
-    traj = os.path.join(outdir, "coxgraph_traj_all.txt")
-    n_rows = 0
-    with open(traj, "w") as fh:
-        pass
-    for cid in range(2):
-        stamps, poses = server.pose_history(cid)
-        tmp = os.path.join(outdir, f"traj_{cid}.txt")
-        export.write_tum_trajectory(tmp, stamps, poses)
-        with open(tmp) as src, open(traj, "a") as dst:
-            body = src.read()
-            dst.write(body)
-            n_rows += body.count("\n")
+    # finish_experiment.sh:6 — FilePath get_pose_history writes all
+    # clients' global-frame trajectories into one TUM file
+    traj = server.save_pose_history(outdir)
+    with open(traj) as fh:
+        n_rows = fh.read().count("\n")
     print(f"pose history: {n_rows} poses → {traj}", flush=True)
     assert n_rows > 10
 

@@ -329,3 +329,27 @@ def test_global_frames_tf_tree(world):
                                np.asarray(geo.identity()))
     server.control_trigger(False)
     assert server.global_frames() == {}
+
+
+def test_save_pose_history_all_clients(world, tmp_path):
+    """FilePath get_pose_history (getPoseHistoryCallback,
+    coxgraph_server.cpp:143-187): one TUM file, all clients, poses
+    transformed into the global frame by T_G_cli."""
+    from coxgraph_tpu.eval.export import read_tum_trajectory
+
+    scene, trajs, X, clients = world
+    server = make_server(list(clients))
+    server.map_fusion(true_fusion_msg(trajs, 3, 3))
+    path = server.save_pose_history(str(tmp_path))
+    assert path.endswith("coxgraph_server_traj.txt")
+    stamps, poses = read_tum_trajectory(path)
+    n0 = len(clients[0].get_pose_history()[0])
+    n1 = len(clients[1].get_pose_history()[0])
+    assert len(stamps) == n0 + n1
+    # client 1's rows must be near world ground truth after alignment
+    seg = np.asarray(poses)[n0:]
+    gt_idx = np.clip((stamps[n0:] / DT).round().astype(int), 0,
+                     N_FRAMES - 1)
+    gt = np.asarray(jax.vmap(lambda i: trajs[1][i])(jnp.asarray(gt_idx)))
+    err = np.linalg.norm(seg[:, 4:7] - gt[:, 4:7], axis=-1)
+    assert np.median(err) < 0.15, np.median(err)
