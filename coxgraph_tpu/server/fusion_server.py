@@ -563,25 +563,36 @@ class CoxgraphServer:
 
     def get_final_global_mesh(self, ply_path: Optional[str] = None,
                               min_weight: float = 0.1,
-                              mesh_spec: Optional[vx.VoxelGridSpec] = None):
+                              mesh_spec: Optional[vx.VoxelGridSpec] = None,
+                              device_mesh=None):
         """Drain pending fusions, pull every submap, re-optimize, merge in
         the global frame and mesh (ServerVisualizer::getFinalGlobalMesh,
-        server_visualizer.cpp:20-142)."""
+        server_visualizer.cpp:20-142). With ``device_mesh`` (a
+        jax.sharding.Mesh) the per-submap merge loop runs distributed —
+        submaps sharded over the devices, one psum reduces the fused
+        pools (parallel/merge_sharded)."""
         self.process_mf_future()
         self.collect_all_submaps()
         self.global_mesh_initialized = True
         if self.in_control and len(self.submaps) >= 2:
             self.optimize()
         spec = mesh_spec or self.cfg.spec
-        merged = vx.create_tsdf_layer(spec)
         poses = self._poses()
-        for s in self.submaps:
-            # submaps stay at client resolution; the global mesh layer may
-            # be finer/coarser (server 0.05 m vs client 0.10 m voxels,
-            # coxgraph_server.launch:5-6) — cross-spec resampling merge
-            merged = merge_ops.merge_layer_into(
-                spec, merged, s.layer, poses[s.sid],
-                src_spec=self.cfg.spec if spec != self.cfg.spec else None)
+        src_spec = self.cfg.spec if spec != self.cfg.spec else None
+        if device_mesh is not None and self.submaps:
+            from ..parallel import merge_sharded as msh
+            merged = msh.merge_layers_sharded(
+                spec, device_mesh, [s.layer for s in self.submaps],
+                [poses[s.sid] for s in self.submaps], src_spec=src_spec)
+        else:
+            merged = vx.create_tsdf_layer(spec)
+            for s in self.submaps:
+                # submaps stay at client resolution; the global mesh layer
+                # may be finer/coarser (server 0.05 m vs client 0.10 m
+                # voxels, coxgraph_server.launch:5-6) — cross-spec
+                # resampling merge
+                merged = merge_ops.merge_layer_into(
+                    spec, merged, s.layer, poses[s.sid], src_spec=src_spec)
         verts, cols = mesh_ops.extract_mesh(spec, merged,
                                             min_weight=min_weight)
         if ply_path:

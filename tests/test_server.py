@@ -353,3 +353,20 @@ def test_save_pose_history_all_clients(world, tmp_path):
     gt = np.asarray(jax.vmap(lambda i: trajs[1][i])(jnp.asarray(gt_idx)))
     err = np.linalg.norm(seg[:, 4:7] - gt[:, 4:7], axis=-1)
     assert np.median(err) < 0.15, np.median(err)
+
+
+def test_final_global_mesh_on_device_mesh(world, tmp_path):
+    """get_final_global_mesh with a device mesh: submaps sharded over 8
+    virtual devices, psum-fused (parallel/merge_sharded) — same surface
+    as the sequential path."""
+    from jax.sharding import Mesh
+
+    scene, trajs, X, clients = world
+    server = make_server(list(clients))
+    server.map_fusion(true_fusion_msg(trajs, 3, 3))
+    dmesh = Mesh(np.array(jax.devices()[:8]), ("dev",))
+    merged, verts, cols = server.get_final_global_mesh(
+        str(tmp_path / "g.ply"), device_mesh=dmesh)
+    assert verts.shape[0] > 500
+    sdf = np.asarray(syn.scene_sdf(scene, jnp.asarray(verts.reshape(-1, 3))))
+    assert np.quantile(np.abs(sdf), 0.9) < 3.0 * SPEC.voxel_size
