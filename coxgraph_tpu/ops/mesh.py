@@ -272,27 +272,32 @@ def _mesh_chunk_impl(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
     return mesh_block_chunk.__wrapped__(spec, layer, slots, min_weight)
 
 
-@partial(jax.jit, static_argnums=(0, 2, 3, 4))
+@partial(jax.jit, static_argnums=(0, 2, 3, 4, 6))
 def extract_mesh_device(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
                         min_weight: float = 1e-4, chunk: int = 16,
-                        max_tris: int = 2_000_000):
-    """Whole-layer mesh extraction in ONE device dispatch.
+                        max_tris: int = 2_000_000, slot_base=0,
+                        n_slots: int = None):
+    """Mesh extraction over pool slots [slot_base, slot_base+n_slots)
+    (default: the whole layer) in ONE device dispatch.
 
     lax.scan over block chunks; each chunk's compacted triangles are
     scattered into a global fixed-capacity buffer at a running offset —
     a single host sync/transfer instead of one per chunk (critical on
     remote-attached TPUs where every sync is a network round trip).
+    ``slot_base`` may be traced (the sharded extractor passes each
+    device's shard offset); ``n_slots`` must be static.
 
     Returns (verts (max_tris,3,3), colors (max_tris,3,3), count ()).
     """
-    n_chunks = -(-layer.max_blocks // chunk)
+    n_chunks = -(-(n_slots if n_slots is not None else layer.max_blocks)
+                 // chunk)
 
     # per-chunk triangle capacity (mesh_block_chunk front-compacts into it)
     cap = chunk * (spec.voxels_per_side ** 3) * 3
 
     def body(carry, c):
         verts_g, cols_g, off = carry
-        slots = c * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        slots = slot_base + c * chunk + jnp.arange(chunk, dtype=jnp.int32)
         v, col, cnt = _mesh_chunk_impl(spec, layer, slots, min_weight)
         # chunks are front-compacted → append with ONE contiguous
         # dynamic_update_slice (TPU scatter would serialize); the garbage

@@ -164,3 +164,50 @@ def merge_layers_sharded(spec: vx.VoxelGridSpec, mesh: Mesh,
          jnp.tile(geo.identity()[None], (pad - len(layers), 1))])
     return merge_submaps_sharded(spec, mesh, stacked, P7, src_spec,
                                  max_touched)
+
+
+def extract_mesh_sharded(spec: vx.VoxelGridSpec, mesh: Mesh,
+                         layer: vx.TsdfLayer, min_weight: float = 1e-4,
+                         chunk: int = 16,
+                         max_tris_per_device: int = 250_000):
+    """Distributed marching-tetrahedra over a (replicated) fused layer:
+    pool slots partitioned over the device mesh, each device extracts its
+    shard's triangles (ops.mesh.extract_mesh_device over a slot range),
+    host concatenates the compacted prefixes. The multi-chip form of
+    voxblox MeshIntegrator for the final global mesh.
+
+    → (verts (T,3,3) f32, colors (T,3,3) f32) numpy, like extract_mesh."""
+    from ..ops import mesh as mesh_ops
+    from ..utils.hostops import bucket_slice
+
+    axis = mesh.axis_names[0]
+    D = int(np.prod(mesh.devices.shape))
+    mbd = -(-spec.max_blocks // D)
+    bases = jnp.arange(D, dtype=jnp.int32) * mbd
+
+    def shard_fn(base, layer):
+        v, c, n = mesh_ops.extract_mesh_device(
+            spec, layer, min_weight, chunk, max_tris_per_device,
+            slot_base=base[0], n_slots=mbd)
+        return v[None], c[None], n[None]
+
+    layer_specs = jax.tree.map(lambda _: P(), layer)
+    verts, cols, cnt = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis), layer_specs),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )(bases, layer)
+
+    counts = np.asarray(cnt)
+    pv, pc = [], []
+    for d in range(D):
+        k = int(counts[d])
+        if k == 0:
+            continue
+        pv.append(np.asarray(bucket_slice(verts[d], k * 9)).reshape(-1, 3, 3))
+        pc.append(np.asarray(bucket_slice(cols[d], k * 9)).reshape(-1, 3, 3))
+    if not pv:
+        return (np.zeros((0, 3, 3), np.float32),
+                np.zeros((0, 3, 3), np.float32))
+    return np.concatenate(pv), np.concatenate(pc)

@@ -584,6 +584,11 @@ class CoxgraphServer:
             merged = msh.merge_layers_sharded(
                 spec, device_mesh, [s.layer for s in self.submaps],
                 [poses[s.sid] for s in self.submaps], src_spec=src_spec)
+            verts, cols = msh.extract_mesh_sharded(
+                spec, device_mesh, merged, min_weight=min_weight)
+            if ply_path:
+                export.write_ply(ply_path, verts, cols)
+            return merged, verts, cols
         else:
             merged = vx.create_tsdf_layer(spec)
             for s in self.submaps:

@@ -99,3 +99,26 @@ def test_sharded_merge_cross_resolution():
     assert near.sum() > 50
     err = np.abs(np.asarray(out.sdf)[near] - true[near])
     assert np.median(err) < 0.2
+
+
+def test_sharded_mesh_extraction_matches_sequential():
+    """Slot-sharded marching tetrahedra over the fused layer must produce
+    the same triangle set as the single-device extractor."""
+    from coxgraph_tpu.ops import mesh as mesh_ops
+
+    scene, layers, poses = build_submaps(2)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dev",))
+    fused = ms.merge_layers_sharded(SPEC, mesh, layers, poses,
+                                    max_touched=SPEC.max_blocks)
+    v_sh, c_sh = ms.extract_mesh_sharded(SPEC, mesh, fused,
+                                         min_weight=0.05,
+                                         max_tris_per_device=100_000)
+    v_sq, c_sq = mesh_ops.extract_mesh(SPEC, fused, min_weight=0.05)
+    assert v_sh.shape == v_sq.shape and v_sh.shape[0] > 100
+    # same triangles (order may differ across shards) — compare as sets
+    # keyed by centroid
+    key_sh = np.round(v_sh.mean(1) * 1e4).astype(np.int64)
+    key_sq = np.round(v_sq.mean(1) * 1e4).astype(np.int64)
+    s_sh = {tuple(k) for k in key_sh}
+    s_sq = {tuple(k) for k in key_sq}
+    assert s_sh == s_sq
