@@ -172,3 +172,36 @@ def test_information_matrix_from_params():
     M2[0, 0] = 1.0
     S2 = cfg_mod.sqrt_information(M2)
     np.testing.assert_allclose(S2.T @ S2, M2, atol=1e-6)
+
+
+def test_preemption_resume_bit_identical(tmp_path):
+    """Preemption story (SURVEY.md §5.4): checkpoint mid-clip via
+    HostMapper, restore into a FRESH mapper, continue — final state must
+    equal the uninterrupted run exactly (pools, poses, histories)."""
+    scene = syn.default_scene()
+    traj = syn.orbit_trajectory(6, scene.room_center, radius=2.5,
+                                sweep=jnp.pi)
+    frames = [syn.render_depth(scene, CFG.intrinsics, traj[i])
+              for i in range(6)]
+
+    # uninterrupted
+    hm_ref = sm.HostMapper(CFG)
+    for i in range(6):
+        hm_ref.step(frames[i][0], frames[i][1], traj[i], i * 0.1)
+
+    # run half, checkpoint, "crash", restore, finish
+    hm1 = sm.HostMapper(CFG)
+    for i in range(3):
+        hm1.step(frames[i][0], frames[i][1], traj[i], i * 0.1)
+    p = os.path.join(tmp_path, "preempt.npz")
+    ckpt.save_pytree(p, hm1.state)
+    del hm1
+    restored = jax.tree.map(jnp.asarray,
+                            ckpt.load_pytree(p, sm.create_mapper(CFG)))
+    hm2 = sm.HostMapper(CFG, restored)   # host mirrors rebuilt from state
+    for i in range(3, 6):
+        hm2.step(frames[i][0], frames[i][1], traj[i], i * 0.1)
+
+    for a, b in zip(jax.tree.leaves(hm_ref.state),
+                    jax.tree.leaves(hm2.state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
