@@ -331,13 +331,14 @@ def test_global_frames_tf_tree(world):
     assert server.global_frames() == {}
 
 
-def test_save_pose_history_all_clients(world, tmp_path):
+def test_save_pose_history_all_clients(tmp_path):
     """FilePath get_pose_history (getPoseHistoryCallback,
     coxgraph_server.cpp:143-187): one TUM file, all clients, poses
-    transformed into the global frame by T_G_cli."""
+    transformed into the global frame by T_G_cli. Fresh clients: the
+    ground-truth comparison needs unmutated trajectories."""
     from coxgraph_tpu.eval.export import read_tum_trajectory
 
-    scene, trajs, X, clients = world
+    scene, trajs, X, clients = build_two_clients()
     server = make_server(list(clients))
     server.map_fusion(true_fusion_msg(trajs, 3, 3))
     path = server.save_pose_history(str(tmp_path))
