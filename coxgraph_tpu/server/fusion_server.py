@@ -472,11 +472,23 @@ class CoxgraphServer:
                 for (c, k) in list(self.cli_ser)
                 if (c, k + 1) in self.cli_ser]
         caches = [s.reg_cache for s in self.submaps]
+        # Gauge: pin the first submap of the REFERENCE client (lowest id
+        # among collected, the frame ClientTfOptimizer holds constant —
+        # node_collection.h:21-25 / client 0 constant). Pinning plain
+        # sid 0 freezes whichever client fused first at its PRE-alignment
+        # pose estimate; every later submap initialized from the aligned
+        # T_G_cli then fights that stale anchor and the map ends up
+        # internally inconsistent.
+        ref_cid = min(s.client_id for s in self.submaps)
+        anchor = next(s.sid for s in self.submaps
+                      if s.client_id == ref_cid)
+        fixed = np.zeros((poses.shape[0],), bool)
+        fixed[anchor] = True
         new_poses, info = global_opt.optimize_two_phase(
             poses, self.constraints, self.cfg.spec, layers[:n],
             reg_cfg=self.cfg.registration, solver_cfg=self.cfg.solver,
             registration_weight=self.cfg.registration_weight,
-            skip_pairs=skip, reg_caches=caches)
+            skip_pairs=skip, reg_caches=caches, fixed=jnp.asarray(fixed))
         for s, c in zip(self.submaps, caches):
             s.reg_cache = c
         self._apply_global_poses(new_poses)

@@ -22,6 +22,8 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default="/tmp/coxgraph_demo2")
     ap.add_argument("--scale", type=float, default=0.25)
+    ap.add_argument("--reg-weight", type=float, default=30.0)
+    ap.add_argument("--skip-mesh", action="store_true")
     args = ap.parse_args()
 
     from coxgraph_tpu.utils import runtime
@@ -84,6 +86,7 @@ def main():
     server = fs.CoxgraphServer(
         fs.ServerConfig(
             spec=spec, max_submaps=48, refuse_interval=0.15,
+            registration_weight=args.reg_weight,
             registration=fs.reg.RegistrationConfig(max_points=1024,
                                                    iterations=10)),
         clients)
@@ -122,15 +125,25 @@ def main():
     print(f"client-1 frame alignment error: rot {np.linalg.norm(err[:3]):.4f} "
           f"trans {np.linalg.norm(err[3:]):.4f}")
 
-    merged, verts, cols = server.get_final_global_mesh(
-        os.path.join(args.out, "global_mesh.ply"),
-        mesh_spec=vx.VoxelGridSpec(
-            voxel_size=spec.voxel_size, voxels_per_side=16, grid_dim=64,
-            max_blocks=6144, truncation=spec.truncation))
-    sdf = np.abs(np.asarray(
-        syn.scene_sdf(scene, jnp.asarray(verts.reshape(-1, 3)))))
-    print(f"global mesh: {verts.shape[0]} tris, surface err "
-          f"p50 {np.median(sdf) * 100:.1f} cm p90 {np.quantile(sdf, 0.9) * 100:.1f} cm")
+    # collect + final optimize first so trajectories can be checked
+    # without paying for the mesh (--skip-mesh iteration mode)
+    server.collect_all_submaps()
+    if len(server.submaps) >= 2:
+        server.optimize()
+    if args.skip_mesh:
+        verts = np.zeros((1001, 3, 3), np.float32)
+        sdf = np.zeros((9,), np.float32)
+    else:
+        merged, verts, cols = server.get_final_global_mesh(
+            os.path.join(args.out, "global_mesh.ply"),
+            mesh_spec=vx.VoxelGridSpec(
+                voxel_size=spec.voxel_size, voxels_per_side=16, grid_dim=64,
+                max_blocks=6144, truncation=spec.truncation))
+        sdf = np.abs(np.asarray(
+            syn.scene_sdf(scene, jnp.asarray(verts.reshape(-1, 3)))))
+        print(f"global mesh: {verts.shape[0]} tris, surface err "
+              f"p50 {np.median(sdf) * 100:.1f} cm "
+              f"p90 {np.quantile(sdf, 0.9) * 100:.1f} cm")
 
     ates = []
     for r in range(2):
