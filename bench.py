@@ -114,6 +114,21 @@ def cpu_baseline() -> float:
     return fps
 
 
+def tpu_alive(timeout_s: int = 240) -> bool:
+    """Probe TPU initialization in a subprocess — the axon tunnel, when
+    down, HANGS device enumeration forever; a hung bench would otherwise
+    eat the driver's whole budget."""
+    code = ("import jax, jax.numpy as jnp;"
+            "print(float(jnp.sum(jnp.ones((4,4)))), jax.default_backend())")
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True,
+                             timeout=timeout_s)
+        return out.returncode == 0 and "tpu" in out.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu-baseline", action="store_true")
@@ -124,6 +139,11 @@ def main():
         fps = run(cpu=True, n_frames=min(args.frames, 8), quiet=True)
         print(json.dumps({"fps": fps}))
         return
+
+    if not tpu_alive():
+        print("bench: TPU backend unreachable (axon tunnel down) — "
+              "refusing to report a non-TPU number", file=sys.stderr)
+        sys.exit(2)
 
     fps = run(cpu=False, n_frames=args.frames)
     base = cpu_baseline()
