@@ -49,3 +49,36 @@ def test_three_channels():
     out = s.add("c", 4.96, "C")
     assert len(out) == 1 and out[0][1] == ("A", "B", "C")
     assert abs(out[0][0] - 5.0) < 1e-9
+
+
+def test_recover_mode_pairing_end_to_end():
+    """The reference client's recover mode pairs (LayerWithTrajectory,
+    mesh_pointcloud) with ApproximateTime (coxgraph_client.cpp:16-28).
+    Here: submap wire msgs and mesh msgs stream with jittered stamps; the
+    synchronizer must emit id-consistent pairs and drop the straggler."""
+    import numpy as np
+
+    from coxgraph_tpu.comm import mesh_comm, wire
+    from tests.test_mesh_comm import build_submap, SPEC, INTR
+
+    scene, layer, stamps, poses = build_submap(6)
+    sync = ApproximateTimeSynchronizer(["tsdf_map_out", "mesh_pointcloud"],
+                                       slop=0.02)
+    pairs = []
+    for sid, t in ((0, 10.0), (1, 20.0), (2, 30.0)):
+        lay_buf = wire.pack_submap_msg(SPEC, 0, sid, layer,
+                                       poses[0], t - 1, t, stamps, poses)
+        mesh_buf = mesh_comm.encode_submap_mesh(
+            SPEC, layer, stamps, poses, INTR, client_id=0,
+            submap_id=sid).pack()
+        pairs += sync.add("tsdf_map_out", t, lay_buf)
+        if sid == 2:
+            continue                     # straggler: no matching cloud
+        pairs += sync.add("mesh_pointcloud", t + 0.015, mesh_buf)
+
+    assert len(pairs) == 2
+    for _, (lay_buf, mesh_buf) in pairs:
+        lay = wire.unpack_submap_msg(SPEC, lay_buf)
+        m = mesh_comm.MeshWithHistory.unpack(mesh_buf)
+        assert lay["submap_id"] == m.submap_id
+        assert int(lay["layer"].num_blocks) > 0 and m.faces.shape[0] > 0
