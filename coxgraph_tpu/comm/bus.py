@@ -339,9 +339,13 @@ class RemoteClient:
 
     def get_pose_history(self):
         """ClientHandler::requestPoseHistory (client_handler.cpp:149-160)
-        → (stamps (N,), poses (N,7)) in the client's odom frame."""
+        → (stamps (N,), poses (N,7)) in the client's odom frame; empty
+        arrays when the robot is unreachable (reference logs the failure
+        and moves on, coxgraph_server.cpp:150-155)."""
         out = self.bus.request(self._srv("get_pose_history"), b"",
                                self.timeout_ms)
+        if not out:
+            return np.zeros((0,)), np.zeros((0, 7), np.float32)
         return pickle.loads(out)
 
 

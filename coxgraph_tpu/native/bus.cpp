@@ -237,6 +237,9 @@ struct Broker {
           break;
         }
         case 4: {  // REQ — rewrite id, forward to provider
+          // lookup and park must be ONE critical section: an ADV landing
+          // between them would drain the waiting list before the park,
+          // stranding the request until the reaper answers it empty
           Conn provider{-1, nullptr};
           uint64_t bid = next_bid.fetch_add(1);
           {
@@ -246,19 +249,20 @@ struct Broker {
               auto c = conns.find(it->second);
               if (c != conns.end()) provider = c->second;
             }
-            if (provider.fd >= 0) pending[bid] = {fd, f.reqid};
+            if (provider.fd >= 0) {
+              pending[bid] = {fd, f.reqid};
+            } else {
+              // no provider yet: park until an ADV arrives or the grace
+              // period expires (reaper then sends the empty REP)
+              waiting[f.topic].push_back(
+                  {f, fd, std::chrono::steady_clock::now() +
+                              std::chrono::milliseconds(kServiceWaitMs)});
+            }
           }
           if (provider.fd >= 0) {
             Frame fwd = f;
             fwd.reqid = bid;
             write_frame(provider.fd, *provider.wmu, fwd);
-          } else {
-            // no provider yet: park until an ADV arrives or the grace
-            // period expires (reaper then sends the empty REP)
-            std::lock_guard<std::mutex> g(mu);
-            waiting[f.topic].push_back(
-                {f, fd, std::chrono::steady_clock::now() +
-                            std::chrono::milliseconds(kServiceWaitMs)});
           }
           break;
         }

@@ -76,14 +76,13 @@ class InProcessClient:
         if self.finished:
             return False
         if self.mapper is not None:
+            # one finalize implementation: delegate to the HostMapper
+            self.mapper.finish_map()
             self.state = self.mapper.state
-        if int(self.state.collection.num_submaps) > 1:
+        elif int(self.state.collection.num_submaps) > 1:
             self.state = sm.optimize_local(self.cfg, self.state)
         self.finished = True
         self.mapping_enabled = False
-        if self.mapper is not None:
-            self.mapper.state = self.state
-            self.mapper.mapping_enabled = False
         return True
 
     # -- topics the client publishes --------------------------------------

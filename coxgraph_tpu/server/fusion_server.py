@@ -370,9 +370,8 @@ class CoxgraphServer:
         if (not self.cfg.publish_global_mesh_on_update
                 or not self.global_mesh_initialized
                 or self.global_mesh_need_update // max(1, len(self.clients))
-                != self.cfg.mesh_updates_per_client):
+                < self.cfg.mesh_updates_per_client):
             return None
-        self.global_mesh_need_update = 0
         return self.get_final_global_mesh(None, **mesh_kwargs)
 
     # ------------------------------------------------------------------
@@ -586,6 +585,7 @@ class CoxgraphServer:
         self.process_mf_future()
         self.collect_all_submaps()
         self.global_mesh_initialized = True
+        self.global_mesh_need_update = 0   # any mesh restarts the window
         if self.in_control and len(self.submaps) >= 2:
             self.optimize()
         spec = mesh_spec or self.cfg.spec

@@ -125,12 +125,12 @@ def main():
     print(f"client-1 frame alignment error: rot {np.linalg.norm(err[:3]):.4f} "
           f"trans {np.linalg.norm(err[3:]):.4f}")
 
-    # collect + final optimize first so trajectories can be checked
-    # without paying for the mesh (--skip-mesh iteration mode)
-    server.collect_all_submaps()
-    if len(server.submaps) >= 2:
-        server.optimize()
     if args.skip_mesh:
+        # iteration mode: collect + final optimize without paying for the
+        # mesh (the non-skip path gets both inside get_final_global_mesh)
+        server.collect_all_submaps()
+        if len(server.submaps) >= 2:
+            server.optimize()
         verts = np.zeros((1001, 3, 3), np.float32)
         sdf = np.zeros((9,), np.float32)
     else:
