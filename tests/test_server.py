@@ -268,6 +268,10 @@ def test_auto_global_mesh_event(world):
     out = server.generate_global_mesh_event(mesh_spec=coarse)
     assert out is not None and out[1].shape[0] > 0
     assert server.global_mesh_need_update == 0
+    # counter overshoot between polls must still fire (>=, not ==)
+    server.global_mesh_need_update = 11 * len(clients)
+    assert server.generate_global_mesh_event(mesh_spec=coarse) is not None
+    assert server.global_mesh_need_update == 0
     # disabled via config → never fires
     server2 = make_server(list(clients))
     server2.global_mesh_initialized = True
