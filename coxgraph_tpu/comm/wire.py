@@ -119,15 +119,30 @@ class BandwidthLog:
 
 def pack_submap_msg(spec: vx.VoxelGridSpec, client_id: int, submap_id: int,
                     layer: vx.TsdfLayer, T_cli_submap, t0: float, t1: float,
-                    hist_stamps: np.ndarray, hist_poses) -> bytes:
-    """Full ClientSubmap message: header + pose + history + encoded layer
-    (coxgraph_msgs/ClientSubmap.msg equivalent)."""
+                    hist_stamps: np.ndarray, hist_poses,
+                    mesh_points=None, mesh_colors=None) -> bytes:
+    """Full ClientSubmap message: header + pose + history + length-prefixed
+    encoded layer + optional submap-frame mesh pointcloud
+    (coxgraph_msgs/ClientSubmap.msg equivalent incl. its mesh_pointclouds
+    field, ClientSubmap.msg:1-3 — the recover-mode cloud the client
+    attaches to the active submap, coxgraph_client.h:162-165)."""
     hs = np.asarray(hist_stamps, np.float64)
     hp = np.asarray(hist_poses, np.float32).reshape(-1, 7)
     hdr = _HDR.pack(client_id, submap_id, len(hs), t0, t1)
     pose = np.asarray(T_cli_submap, np.float32).tobytes()
+    lay = serialize_layer(spec, layer)
+    if mesh_points is None:
+        cloud = struct.pack("<I", 0)
+    else:
+        pts = np.ascontiguousarray(mesh_points, np.float32).reshape(-1, 3)
+        cols = (np.full((pts.shape[0], 3), 128, np.uint8)
+                if mesh_colors is None
+                else np.ascontiguousarray(mesh_colors,
+                                          np.uint8).reshape(-1, 3))
+        cloud = (struct.pack("<I", pts.shape[0]) + pts.tobytes()
+                 + cols.tobytes())
     return (hdr + pose + hs.tobytes() + hp.tobytes()
-            + serialize_layer(spec, layer))
+            + struct.pack("<I", len(lay)) + lay + cloud)
 
 
 def unpack_submap_msg(spec: vx.VoxelGridSpec, buf: bytes):
@@ -141,10 +156,22 @@ def unpack_submap_msg(spec: vx.VoxelGridSpec, buf: bytes):
         np.frombuffer(buf, np.float32, 7 * n_hist, off).reshape(n_hist, 7)
         .copy())
     off += 28 * n_hist
-    layer = deserialize_layer(spec, buf[off:])
+    (lay_len,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    layer = deserialize_layer(spec, buf[off:off + lay_len])
+    off += lay_len
+    (n_pts,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    pts = cols = None
+    if n_pts:
+        pts = np.frombuffer(buf, np.float32, 3 * n_pts, off).reshape(
+            n_pts, 3).copy()
+        off += 12 * n_pts
+        cols = np.frombuffer(buf, np.uint8, 3 * n_pts, off).reshape(
+            n_pts, 3).copy()
     return dict(client_id=cid, submap_id=sid, t0=t0, t1=t1,
                 T_cli_submap=pose, hist_stamps=hs, hist_poses=hp,
-                layer=layer)
+                layer=layer, mesh_points=pts, mesh_colors=cols)
 
 
 _MAP_TF = struct.Struct("<dh")

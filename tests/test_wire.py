@@ -93,3 +93,23 @@ def test_map_transform_roundtrip():
     stamp, sid, out = wire.unpack_map_transform(buf)
     assert stamp == 12.25 and sid == 7
     np.testing.assert_allclose(out, pose)
+
+
+def test_submap_msg_with_mesh_pointcloud():
+    """Optional recover-mode cloud attachment (ClientSubmap.msg:1-3
+    mesh_pointclouds; attached at coxgraph_client.h:162-165)."""
+    layer = make_layer()
+    pts = np.random.RandomState(0).randn(17, 3).astype(np.float32)
+    cols = (np.random.RandomState(1).rand(17, 3) * 255).astype(np.uint8)
+    buf = wire.pack_submap_msg(SPEC, 1, 2, layer, np.zeros(7, np.float32),
+                               0.0, 1.0, np.zeros(3), np.zeros((3, 7)),
+                               mesh_points=pts, mesh_colors=cols)
+    d = wire.unpack_submap_msg(SPEC, buf)
+    np.testing.assert_allclose(d["mesh_points"], pts)
+    np.testing.assert_array_equal(d["mesh_colors"], cols)
+    assert int(d["layer"].num_blocks) == int(layer.num_blocks)
+    # absent cloud stays None
+    buf2 = wire.pack_submap_msg(SPEC, 1, 2, layer, np.zeros(7, np.float32),
+                                0.0, 1.0, np.zeros(3), np.zeros((3, 7)))
+    d2 = wire.unpack_submap_msg(SPEC, buf2)
+    assert d2["mesh_points"] is None and d2["mesh_colors"] is None
