@@ -616,6 +616,27 @@ class CoxgraphServer:
             export.write_ply(ply_path, verts, cols)
         return merged, verts, cols
 
+    def merge_to_client_map(self, cid: int,
+                            mesh_spec: Optional[vx.VoxelGridSpec] = None
+                            ) -> vx.TsdfLayer:
+        """Merge every server-held submap of client ``cid`` into ONE layer
+        expressed in that client's map frame (SubmapCollection::mergeToCliMap,
+        submap_collection.cpp:24-37 — voxblox::mergeLayerAintoLayerB per
+        submap with pose T_Cli_submap). Uses the OPTIMIZED global poses
+        pulled back through T_G_cli, so the returned client map reflects
+        the fused mission solution."""
+        spec = mesh_spec or self.cfg.spec
+        src_spec = self.cfg.spec if spec != self.cfg.spec else None
+        merged = vx.create_tsdf_layer(spec)
+        T_cli_G = geo.inverse(self.T_G_cli[cid])
+        for s in self.submaps:
+            if s.client_id != cid:
+                continue
+            T_cli_sm = geo.compose(T_cli_G, s.T_G_submap)
+            merged = merge_ops.merge_layer_into(spec, merged, s.layer,
+                                                T_cli_sm, src_spec=src_spec)
+        return merged
+
     def get_final_global_mesh_postprocessed(
             self, ply_path: Optional[str] = None, min_weight: float = 0.1,
             mesh_spec: Optional[vx.VoxelGridSpec] = None,

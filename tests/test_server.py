@@ -112,6 +112,31 @@ def test_global_mesh_covers_union(world, tmp_path):
     assert np.median(err) < 0.12
 
 
+def test_merge_to_client_map(world):
+    scene, trajs, X, clients = world
+    server = make_server(list(clients))
+    server.map_fusion(true_fusion_msg(trajs, 3, 3))
+    from coxgraph_tpu.ops import mesh as mesh_ops
+    cli_map = server.merge_to_client_map(1)
+    assert int(cli_map.num_blocks) > 0
+    verts, _ = mesh_ops.extract_mesh(SPEC, cli_map, min_weight=0.1)
+    pts = verts.reshape(-1, 3)
+    assert pts.shape[0] > 100
+    # the returned map lives in client 1's frame: pushing its surface
+    # through T_G_cli[1] must land on the true scene surface
+    pts_g = geo.transform_points(server.T_G_cli[1], jnp.asarray(pts))
+    sdf = np.asarray(syn.scene_sdf(scene, pts_g))
+    assert np.quantile(np.abs(sdf), 0.9) < 3.0 * SPEC.voxel_size
+    # only client 1's submaps contribute (client map ≠ global map): the
+    # other robot's map covers a different view sector of the scene
+    cm0 = server.merge_to_client_map(0)
+    v0, _ = mesh_ops.extract_mesh(SPEC, cm0, min_weight=0.1)
+    c0 = np.asarray(geo.transform_points(
+        server.T_G_cli[0], jnp.asarray(v0.reshape(-1, 3)))).mean(axis=0)
+    c1 = np.asarray(pts_g).mean(axis=0)
+    assert np.linalg.norm(c0[:2] - c1[:2]) > 0.3
+
+
 def test_global_mesh_postprocessed(world, tmp_path):
     scene, trajs, X, clients = world
     server = make_server(list(clients))
