@@ -59,6 +59,43 @@ def test_ate_rigid_offset_cancels_with_alignment():
     assert 0.4 * np.sqrt(3) * sigma < ate < 1.6 * np.sqrt(3) * sigma
 
 
+def test_rpe_measures_drift_rate_not_offset():
+    # constant-velocity gt; est has the same motion plus a constant rigid
+    # offset (RPE must be 0) and, separately, per-step drift (RPE = drift)
+    stamps = np.arange(50) * 0.1
+    gt = np.zeros((50, 3))
+    gt[:, 0] = np.arange(50) * 0.1          # 1 m/s along x
+    est_offset = gt + np.array([3.0, -1.0, 0.5])
+    t_err, r_err = metrics.rpe(stamps, _poses(est_offset), stamps,
+                               _poses(gt), delta=1.0)
+    assert t_err < 1e-5 and r_err < 1e-5   # float32 pose quantization
+    drift = 0.02                             # 2 cm per 0.1 s step
+    est_drift = gt.copy()
+    est_drift[:, 1] = np.arange(50) * drift
+    t_err, _ = metrics.rpe(stamps, _poses(est_drift), stamps, _poses(gt),
+                           delta=1.0)
+    np.testing.assert_allclose(t_err, drift * 10, rtol=1e-6)
+
+
+def test_rpe_rotational_component():
+    # constant yaw rate: 0.1 rad per 0.1 s step in est, identity gt
+    stamps = np.arange(30) * 0.1
+    p = np.zeros((30, 7))
+    yaw = np.arange(30) * 0.1
+    p[:, 0] = np.cos(yaw / 2)
+    p[:, 3] = np.sin(yaw / 2)
+    gt = _poses(np.zeros((30, 3)))
+    _, r_err = metrics.rpe(stamps, p, stamps, gt, delta=1.0)
+    np.testing.assert_allclose(r_err, 1.0, rtol=1e-6)
+
+
+def test_rpe_no_pairs_is_inf():
+    stamps = np.array([0.0, 0.1])
+    p = _poses(np.zeros((2, 3)))
+    assert metrics.rpe(stamps, p, stamps, p, delta=5.0) == (float("inf"),
+                                                            float("inf"))
+
+
 def test_ate_no_overlap_is_inf():
     stamps_a = np.array([0.0, 0.1])
     stamps_b = np.array([10.0, 10.1])

@@ -400,3 +400,38 @@ def test_final_global_mesh_on_device_mesh(world, tmp_path):
     assert verts.shape[0] > 500
     sdf = np.asarray(syn.scene_sdf(scene, jnp.asarray(verts.reshape(-1, 3))))
     assert np.quantile(np.abs(sdf), 0.9) < 3.0 * SPEC.voxel_size
+
+
+def test_three_client_fusion_chain():
+    """Three clients (the reference's kMaxClientNum, coxgraph_server.h:285)
+    aligned through a fusion CHAIN 0-1 then 1-2: client 2 never closes a
+    loop with the reference client directly, so its frame alignment must
+    propagate through the client-frame pose graph (ClientTfOptimizer
+    semantics, client_tf_optimizer.cpp:23-33)."""
+    scene = syn.default_scene()
+    X = [geo.identity(),
+         geo.from_xyzyaw(jnp.array([1.0, -0.5, 0.0, 0.6])),
+         geo.from_xyzyaw(jnp.array([-0.8, 0.7, 0.0, -0.4]))]
+    trajs = [syn.orbit_trajectory(N_FRAMES, scene.room_center, radius=2.3,
+                                  sweep=0.7 * jnp.pi, start_angle=a)
+             for a in (0.0, 0.5 * np.pi, 1.0 * np.pi)]
+    clients = []
+    for cid in range(3):
+        state = sm.create_mapper(CFG)
+        for i in range(N_FRAMES):
+            d, c = syn.render_depth(scene, CFG.intrinsics, trajs[cid][i])
+            T_odom_cam = geo.compose(geo.inverse(X[cid]), trajs[cid][i])
+            state, _ = sm.mapper_step(CFG, state, d, c, T_odom_cam, i * DT)
+        clients.append(InProcessClient(cid, CFG, state))
+    server = make_server(clients)
+    T01 = geo.relative(trajs[0][3], trajs[1][3])
+    assert server.map_fusion(fs.MapFusionMsg(
+        from_client=0, from_time=3 * DT, to_client=1, to_time=3 * DT,
+        T_from_to=T01))
+    T12 = geo.relative(trajs[1][5], trajs[2][4])
+    assert server.map_fusion(fs.MapFusionMsg(
+        from_client=1, from_time=5 * DT, to_client=2, to_time=4 * DT,
+        T_from_to=T12))
+    for cid in (1, 2):
+        err = geo.se3_log(geo.relative(server.T_G_cli[cid], X[cid]))
+        assert float(jnp.linalg.norm(err)) < 0.2, (cid, np.asarray(err))
