@@ -199,56 +199,60 @@ def allocate_and_slots(spec: VoxelGridSpec, flat_index: Array,
                        grid_slots: Array, valid: Array, max_touched: int):
     """Fused allocation + touched-slot compaction over the block grid.
 
-    One pass: scatter the candidate bitmap, then compact both the
-    newly-allocated cells and all touched cells with top_k partial
-    selection. Earlier formulations ranked cells with a G³ prefix sum and
-    scatter-compacted through G³-sized index vectors; on chip those two
-    scatters cost ~2 ms/frame (XLA lowers big scatters via sort) while
-    two k=max_touched top_k passes are ~10x cheaper. Deriving the touched
-    set from the allocation bitmap (instead of re-looking up the raw
-    candidates) avoids a million-point gather whose duplicate-heavy
-    addresses serialize the TPU gather unit.
+    The dedup runs on the SORTED CANDIDATE LIST, never on G³ arrays: sort
+    the N candidate cell ids (invalid → G³ sentinel), mark first
+    occurrences, and top_k-compact the ≤max_touched smallest unique ids.
+    Earlier formulations scattered a G³ touched bitmap (XLA lowers the
+    duplicate-index scatter via a sort of the N candidates) and then ran
+    TWO G³-sized top_k passes — at the bench operating point
+    (N≈58k, G³=262k) that was ~0.85 ms/frame; two N-sized sorts are ~4x
+    cheaper. New cells are detected by gathering flat_index at the K
+    compacted cells (a K-gather instead of a second G³ selection), so
+    allocation caps at max_touched NEW cells among the K smallest touched
+    — overflow cells stay unallocated and are picked up by later frames,
+    as before.
     Returns (flat_index, block_coords, num_blocks, slots (K,), mask (K,))."""
     g3 = spec.grid_dim ** 3
-    touched = jnp.zeros((g3,), dtype=jnp.bool_)
-    touched = touched.at[jnp.where(valid, grid_slots, g3)].set(
-        True, mode="drop")
-    is_new = touched & (flat_index < 0)
-    cell = jnp.arange(g3, dtype=jnp.int32)
+    K = max_touched
 
-    # compact the ≤max_touched smallest touched / new cell ids (ascending,
-    # matching the prefix-sum ranking they replace)
-    t_cells = -jax.lax.top_k(jnp.where(touched, -cell, -g3),
-                             max_touched)[0]              # (K,) g3-padded
-    n_cells = -jax.lax.top_k(jnp.where(is_new, -cell, -g3),
-                             max_touched)[0]
+    ids = jnp.sort(jnp.where(valid, grid_slots, g3))      # (N,) ascending
+    uniq = jnp.concatenate([ids[:1] < g3,
+                            (ids[1:] != ids[:-1]) & (ids[1:] < g3)])
+    # K smallest unique cell ids, ascending, g3-padded (negation trick
+    # keeps top_k = "smallest"; tiny frames can have fewer candidates
+    # than K — pad the selection back out)
+    k_eff = min(K, ids.shape[0])
+    t_cells = -jax.lax.top_k(jnp.where(uniq, -ids, -g3), k_eff)[0]
+    if k_eff < K:
+        t_cells = jnp.pad(t_cells, (0, K - k_eff), constant_values=g3)
     t_mask = t_cells < g3
-    n_mask = n_cells < g3
+
+    # new-cell detection: K-gather of the block index at the compacted
+    # cells (clamped address for padding lanes; t_mask gates the result)
+    fi_t = flat_index[jnp.minimum(t_cells, g3 - 1)]
+    is_new = t_mask & (fi_t < 0)
 
     # allocation: consecutive pool slots for new cells, in cell order
-    rank = jnp.cumsum(n_mask.astype(jnp.int32)) - 1
+    rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     slot_id = num_blocks + rank
-    can_alloc = n_mask & (slot_id < spec.max_blocks)
-    # count only slots actually assigned (top_k caps new cells at
-    # max_touched per call; overflow cells stay unallocated and are
-    # picked up by later frames)
+    can_alloc = is_new & (slot_id < spec.max_blocks)
     n_new = jnp.sum(can_alloc.astype(jnp.int32))
     # small scatters only (K rows, unique targets)
-    new_flat = flat_index.at[jnp.where(can_alloc, n_cells, g3)].set(
+    new_flat = flat_index.at[jnp.where(can_alloc, t_cells, g3)].set(
         jnp.where(can_alloc, slot_id, 0), mode="drop")
     gd = spec.grid_dim
-    ncz = n_cells % gd
-    ncy = (n_cells // gd) % gd
-    ncx = n_cells // (gd * gd)
+    ncz = t_cells % gd
+    ncy = (t_cells // gd) % gd
+    ncx = t_cells // (gd * gd)
     coords_new = jnp.stack([ncx, ncy, ncz], axis=-1) - spec.half_grid
     block_coords = block_coords.at[
         jnp.where(can_alloc, slot_id, spec.max_blocks)].set(
         coords_new, mode="drop")
     num_blocks = num_blocks + n_new
 
-    # touched-slot compaction: pool slots of the compacted touched cells
-    # (a touched cell lacks one only when the pool overflowed)
-    slots = new_flat[jnp.minimum(t_cells, g3 - 1)]
+    # touched-slot compaction: new cells take their fresh slot, old cells
+    # their existing one (no re-gather of new_flat needed)
+    slots = jnp.where(is_new, slot_id, fi_t)
     mask = t_mask & (slots >= 0) & (slots < spec.max_blocks)
     slots = jnp.where(mask, slots, spec.max_blocks)
     return new_flat, block_coords, num_blocks, slots, mask

@@ -256,10 +256,17 @@ def _update_pallas(spec, cfg, intr, layers, base, bc_k, slots, slot_mask,
         spec, cfg, intr, coords, tiles, params, atlas,
         old_sdf, old_w, old_c_planar)
 
-    tgt = jnp.where(slot_mask, base + slots, S * mb)
-    sdf_out = sdf_pool.at[tgt].set(new_sdf, mode="drop")
-    w_out = w_pool.at[tgt].set(new_w, mode="drop")
-    c_out = c_pool.at[tgt].set(new_c_planar, mode="drop")
+    # targets are UNIQUE (compacted touched slots; dropped rows get
+    # distinct out-of-range ids too) — without the unique_indices hint XLA
+    # lowers the row scatter through a duplicate-resolving sort path that
+    # runs at ~50 GB/s; with it the three pool scatters are row DMAs
+    # (measured 0.8 ms/frame → ~0.1 at the bench operating point)
+    tgt = jnp.where(slot_mask, base + slots,
+                    S * mb + jnp.arange(slots.shape[0], dtype=jnp.int32))
+    sdf_out = sdf_pool.at[tgt].set(new_sdf, mode="drop", unique_indices=True)
+    w_out = w_pool.at[tgt].set(new_w, mode="drop", unique_indices=True)
+    c_out = c_pool.at[tgt].set(new_c_planar, mode="drop",
+                               unique_indices=True)
     return dataclasses.replace(
         layers,
         sdf=sdf_out.reshape(layers.sdf.shape),
@@ -276,7 +283,14 @@ def _update_xla(spec, cfg, intr, layers, base, bc_k, slots, slot_mask,
     v = spec.voxels_per_side
     K = slots.shape[0]
     depth_flat = depth.reshape(-1)
-    color_flat = None if color is None else color.reshape(-1, 3)
+    # color may arrive interleaved (H,W,3) or planar (3,H,W) — see
+    # build_atlases; flatten to (N,3) either way
+    if color is None:
+        color_flat = None
+    elif color.shape[0] == 3 and color.shape[-1] != 3:
+        color_flat = color.reshape(3, -1).T
+    else:
+        color_flat = color.reshape(-1, 3)
     tau = spec.truncation
     npix = intr.height * intr.width
     # pools ride the scan FLAT (N, v³): a (..., 16, 16) carry would pad
@@ -289,7 +303,11 @@ def _update_xla(spec, cfg, intr, layers, base, bc_k, slots, slot_mask,
     def update_chunk(carry, chunk):
         sdf_pool, w_pool, c_pool = carry
         c_slots, c_mask = chunk
-        flat_slots = jnp.where(c_mask, base + c_slots, S * mb)
+        # unique scatter targets (see _update_pallas): masked rows get
+        # distinct out-of-range ids so the unique_indices hint holds
+        flat_slots = jnp.where(
+            c_mask, base + c_slots,
+            S * mb + jnp.arange(c_slots.shape[0], dtype=jnp.int32))
         coords = bc_k[c_slots]                                 # (C,3)
         centers = vx.voxel_centers_of_block(spec, coords)
         p_cam = geo.transform_points(T_cam_sm, centers)
@@ -336,9 +354,11 @@ def _update_xla(spec, cfg, intr, layers, base, bc_k, slots, slot_mask,
             old_sdf,
         )
         sdf_pool = sdf_pool.at[flat_slots].set(new_sdf.reshape(C, -1),
-                                               mode="drop")
+                                               mode="drop",
+                                               unique_indices=True)
         w_pool = w_pool.at[flat_slots].set(new_w.reshape(C, -1),
-                                           mode="drop")
+                                           mode="drop",
+                                           unique_indices=True)
 
         if color_flat is not None:
             # image gather stays interleaved (the image is (H,W,3)); the
@@ -354,7 +374,8 @@ def _update_xla(spec, cfg, intr, layers, base, bc_k, slots, slot_mask,
                 old_c,
             )
             c_pool = c_pool.at[flat_slots].set(new_c.reshape(C, -1),
-                                               mode="drop")
+                                               mode="drop",
+                                               unique_indices=True)
         return (sdf_pool, w_pool, c_pool), None
 
     chunk = min(cfg.update_chunk_blocks, K)
