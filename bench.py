@@ -114,25 +114,60 @@ def cpu_baseline() -> float:
     return fps
 
 
-def tpu_alive(timeout_s: int = 240) -> bool:
-    """Probe TPU initialization in a subprocess — the axon tunnel, when
-    down, HANGS device enumeration forever; a hung bench would otherwise
-    eat the driver's whole budget."""
+def tpu_probe(timeout_s: int = 240):
+    """One TPU-initialization probe in a subprocess — the axon tunnel,
+    when down, HANGS device enumeration forever; a hung bench would
+    otherwise eat the driver's whole budget. → (ok, why)."""
     code = ("import jax, jax.numpy as jnp;"
             "print(float(jnp.sum(jnp.ones((4,4)))), jax.default_backend())")
     try:
         out = subprocess.run([sys.executable, "-c", code],
                              capture_output=True, text=True,
                              timeout=timeout_s)
-        return out.returncode == 0 and "tpu" in out.stdout
+        if out.returncode == 0 and "tpu" in out.stdout:
+            return True, "ok"
+        tail = (out.stderr or out.stdout).strip().splitlines()[-3:]
+        return False, (f"rc={out.returncode} backend probe said: "
+                       + " | ".join(tail))
     except subprocess.TimeoutExpired:
-        return False
+        return False, f"probe hung > {timeout_s}s (tunnel down)"
+
+
+def wait_for_tpu(budget_s: float = 900.0, probe_timeout_s: int = 240) -> bool:
+    """Retry TPU probes with backoff until one succeeds or the budget is
+    spent. Round-1 capture was lost to a single-probe give-up while the
+    tunnel flapped (VERDICT.md Weak #1); the tunnel often comes back
+    within minutes, so waiting it out is the whole game. Logs WHY each
+    attempt failed so a dead capture is diagnosable from stderr."""
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        remaining = deadline - time.monotonic()
+        if remaining <= 5:
+            print(f"bench: giving up after {attempt - 1} probes / "
+                  f"{budget_s:.0f}s budget", file=sys.stderr)
+            return False
+        ok, why = tpu_probe(min(probe_timeout_s, int(remaining)))
+        if ok:
+            if attempt > 1:
+                print(f"bench: TPU came back on probe {attempt}",
+                      file=sys.stderr)
+            return True
+        print(f"bench: TPU probe {attempt} failed: {why} "
+              f"({deadline - time.monotonic():.0f}s budget left)",
+              file=sys.stderr)
+        time.sleep(min(20.0, max(0.0, deadline - time.monotonic())))
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu-baseline", action="store_true")
     ap.add_argument("--frames", type=int, default=N_FRAMES)
+    ap.add_argument("--tpu-run", action="store_true",
+                    help="(internal) run the TPU measurement in-process")
+    ap.add_argument("--tpu-wait", type=float, default=900.0,
+                    help="seconds to keep re-probing a flaky tunnel")
     args = ap.parse_args()
 
     if args.cpu_baseline:
@@ -140,12 +175,43 @@ def main():
         print(json.dumps({"fps": fps}))
         return
 
-    if not tpu_alive():
+    if args.tpu_run:
+        fps = run(cpu=False, n_frames=args.frames)
+        print(json.dumps({"fps": fps}))
+        return
+
+    if not wait_for_tpu(budget_s=args.tpu_wait):
         print("bench: TPU backend unreachable (axon tunnel down) — "
               "refusing to report a non-TPU number", file=sys.stderr)
         sys.exit(2)
 
-    fps = run(cpu=False, n_frames=args.frames)
+    # the measurement itself runs in a subprocess under a hard timeout:
+    # a tunnel drop mid-run would otherwise hang this process forever.
+    fps = None
+    for trial in range(3):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--tpu-run",
+                 "--frames", str(args.frames)],
+                capture_output=True, text=True, timeout=900, cwd=REPO)
+        except subprocess.TimeoutExpired:
+            print(f"bench: TPU run {trial + 1} hung >900s (tunnel drop "
+                  "mid-run); re-probing", file=sys.stderr)
+            if not wait_for_tpu(budget_s=300.0):
+                break
+            continue
+        sys.stderr.write(out.stderr)
+        if out.returncode == 0 and out.stdout.strip():
+            fps = json.loads(out.stdout.strip().splitlines()[-1])["fps"]
+            break
+        print(f"bench: TPU run {trial + 1} failed rc={out.returncode}",
+              file=sys.stderr)
+        if not wait_for_tpu(budget_s=300.0):
+            break
+    if fps is None:
+        print("bench: every TPU measurement attempt failed — refusing to "
+              "report a non-TPU number", file=sys.stderr)
+        sys.exit(2)
     base = cpu_baseline()
     print(json.dumps({
         "metric": "tsdf_integration_fps",
