@@ -243,9 +243,28 @@ class ClientService:
         return True
 
 
+class ReqState:
+    """Last-request outcome of a RemoteClient — the reference
+    ClientHandler's ReqState enum (client_handler.h:106). FAILED means the
+    transport broke (dead/slow robot, RPC timeout); FUTURE means the robot
+    answered but the requested time is ahead of its map."""
+
+    NONINIT = "noninit"
+    FAILED = "failed"
+    FUTURE = "future"
+    SUCCESS = "success"
+
+
 class RemoteClient:
     """Server-side proxy with the InProcessClient interface, backed by bus
-    RPC (the reference's ClientHandler, client_handler.cpp:82-160)."""
+    RPC (the reference's ClientHandler, client_handler.cpp:82-160).
+
+    RPC failures never raise out of this class: every method catches the
+    bus timeout, records ``req_state = ReqState.FAILED`` (+ a failure
+    counter) and returns a neutral value — the server requeues the fusion
+    and retries on later timeline updates, exactly the reference's
+    FAILED→retry degradation (client_handler.cpp:103,
+    coxgraph_server.cpp:287-295)."""
 
     def __init__(self, port: int, client_id: int, spec: vx.VoxelGridSpec,
                  timeout_ms: int = 60_000):
@@ -258,9 +277,23 @@ class RemoteClient:
         # per-transfer bandwidth accounting (EvalDataPublisher parity,
         # client_handler.cpp:92-95)
         self.bandwidth = wire.BandwidthLog()
+        self.req_state = ReqState.NONINIT
+        self.failures = 0
 
     def _srv(self, name: str) -> str:
         return f"client{self.client_id}/{name}"
+
+    def _request(self, name: str, payload: bytes = b"") -> Optional[bytes]:
+        """RPC with FAILED-state capture: → reply bytes, or None when the
+        robot is unreachable (timeout / dropped connection)."""
+        try:
+            out = self.bus.request(self._srv(name), payload, self.timeout_ms)
+        except (TimeoutError, OSError):
+            self.req_state = ReqState.FAILED
+            self.failures += 1
+            return None
+        self.req_state = ReqState.SUCCESS
+        return out
 
     def timeline(self) -> Tuple[float, float]:
         while True:
@@ -274,17 +307,22 @@ class RemoteClient:
     def get_submap_by_time(self, t: float):
         import time as _t
         t0 = _t.monotonic()
-        out = self.bus.request(self._srv("get_submap_by_time"),
-                               struct.pack("<d", t), self.timeout_ms)
+        out = self._request("get_submap_by_time", struct.pack("<d", t))
+        if out is None:
+            return None                              # FAILED
         self.bandwidth.record(f"client{self.client_id}/submap",
                               len(out), _t.monotonic() - t0)
-        return None if not out else _unpack_handle(self.spec, out)
+        if not out:
+            self.req_state = ReqState.FUTURE         # robot answered: no map
+            return None
+        return _unpack_handle(self.spec, out)
 
     def get_all_submaps(self) -> List:
         import time as _t
         t0 = _t.monotonic()
-        out = self.bus.request(self._srv("get_all_submaps"), b"",
-                               self.timeout_ms)
+        out = self._request("get_all_submaps")
+        if out is None:
+            return []                                # FAILED
         self.bandwidth.record(f"client{self.client_id}/all_submaps",
                               len(out), _t.monotonic() - t0)
         if not out:
@@ -300,8 +338,9 @@ class RemoteClient:
         return handles
 
     def lookup_pose_in_submap(self, k: int, t: float):
-        out = self.bus.request(self._srv("lookup_pose"),
-                               struct.pack("<id", k, t), self.timeout_ms)
+        out = self._request("lookup_pose", struct.pack("<id", k, t))
+        if not out:
+            return None                              # FAILED / no history
         return jnp.asarray(np.frombuffer(out, np.float32))
 
     def receive_loop_closure(self, t_a: float, t_b: float, T,
@@ -310,15 +349,14 @@ class RemoteClient:
             "t_a": t_a, "t_b": t_b, "T": np.asarray(T),
             "sqrt_info": None if sqrt_info is None
             else np.asarray(sqrt_info)}, protocol=4)
-        out = self.bus.request(self._srv("loop_closure"), payload,
-                               self.timeout_ms)
+        out = self._request("loop_closure", payload)
         return bool(out and out[0])
 
     def apply_pose_updates(self, updates) -> None:
         payload = pickle.dumps([(k, np.asarray(p)) for k, p in updates],
                                protocol=4)
-        self.bus.request(self._srv("pose_updates"), payload,
-                         self.timeout_ms)
+        if self._request("pose_updates", payload) is None:
+            return     # unreachable robot: next optimize re-pushes anyway
         # also broadcast each optimized pose as a stamped MapTransform —
         # the reference ClientHandler's submap-pose TF publication
         # (sm_pose_tf_pub_, client_handler.cpp:60, MapTransform.msg:1-4)
@@ -329,12 +367,10 @@ class RemoteClient:
                              wire.pack_map_transform(now, int(k), p))
 
     def toggle_mapping(self, enable: bool) -> None:
-        self.bus.request(self._srv("toggle_mapping"),
-                         struct.pack("<B", int(enable)), self.timeout_ms)
+        self._request("toggle_mapping", struct.pack("<B", int(enable)))
 
     def finish_map(self) -> bool:
-        out = self.bus.request(self._srv("finish_map"), b"",
-                               self.timeout_ms)
+        out = self._request("finish_map")
         return bool(out and out[0])
 
     def get_pose_history(self):
@@ -342,8 +378,7 @@ class RemoteClient:
         → (stamps (N,), poses (N,7)) in the client's odom frame; empty
         arrays when the robot is unreachable (reference logs the failure
         and moves on, coxgraph_server.cpp:150-155)."""
-        out = self.bus.request(self._srv("get_pose_history"), b"",
-                               self.timeout_ms)
+        out = self._request("get_pose_history")
         if not out:
             return np.zeros((0,)), np.zeros((0, 7), np.float32)
         return pickle.loads(out)

@@ -454,16 +454,21 @@ int cox_bus_poll(int h, int timeout_ms) {
   Client* c = cli(h);
   if (!c || c->fd < 0) return -1;
   std::lock_guard<std::mutex> g(c->rmu);
-  if (!c->inbox.empty()) {
-    c->slot = std::move(c->inbox.front());
-    c->inbox.pop_front();
+  for (;;) {
+    if (!c->inbox.empty()) {
+      c->slot = std::move(c->inbox.front());
+      c->inbox.pop_front();
+      if (c->slot.type == 5) continue;  // stale reply from a timed-out
+                                        // earlier request — drop
+      return c->slot.type;
+    }
+    Frame f;
+    int r = c->read_one(&f, timeout_ms);
+    if (r <= 0) return r;
+    if (f.type == 5) continue;          // stale reply — drop
+    c->slot = std::move(f);
     return c->slot.type;
   }
-  Frame f;
-  int r = c->read_one(&f, timeout_ms);
-  if (r <= 0) return r;
-  c->slot = std::move(f);
-  return c->slot.type;
 }
 
 // blocking request; on success the REP payload lands in the slot and its
@@ -479,9 +484,12 @@ long cox_bus_request(int h, const char* service, const void* buf,
     Frame f;
     int r = c->read_one(&f, timeout_ms);
     if (r <= 0) return -1;
-    if (f.type == 5 && f.reqid == id) {
-      c->slot = std::move(f);
-      return static_cast<long>(c->slot.payload.size());
+    if (f.type == 5) {
+      if (f.reqid == id) {
+        c->slot = std::move(f);
+        return static_cast<long>(c->slot.payload.size());
+      }
+      continue;  // stale reply from a timed-out earlier request — drop
     }
     c->inbox.push_back(std::move(f));
   }

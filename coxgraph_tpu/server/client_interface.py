@@ -11,6 +11,7 @@ server code is identical (SURVEY.md §5.8 two-tier fabric).
 from __future__ import annotations
 
 import dataclasses
+import threading
 from typing import List, Optional, Tuple
 
 import jax
@@ -56,6 +57,19 @@ class InProcessClient:
         self.mapping_enabled = True           # toggle_mapping service state
         self.finished = False                 # finish_map latched
         self.mapper = None                    # optional HostMapper to control
+        # interface duality with comm.bus.RemoteClient: in-process calls
+        # can't fail in transport, so this only ever reads FUTURE/SUCCESS
+        # (ClientHandler ReqState, client_handler.h:106)
+        self.req_state = "noninit"
+        self.failures = 0
+        # Pause lock for async server↔robot overlap (the reference
+        # client's submap_proc_mutex_ timed lock, coxgraph_client.h:126):
+        # server-origin state mutations (apply_pose_updates,
+        # receive_loop_closure, finish_map) and submap serving take it;
+        # a robot frame loop that rebinds self.state must hold it too —
+        # `with client.lock: client.state = ...` — so a background PGO
+        # pose push never interleaves with a frame's read-modify-write.
+        self.lock = threading.RLock()
 
     # -- mapping control services -------------------------------------------
 
@@ -73,17 +87,18 @@ class InProcessClient:
         the submap chain and stop integrating (the voxgraph finish_map
         service each client exposes, called at finish_experiment.sh:3-4
         before the server's final mesh). Idempotent."""
-        if self.finished:
-            return False
-        if self.mapper is not None:
-            # one finalize implementation: delegate to the HostMapper
-            self.mapper.finish_map()
-            self.state = self.mapper.state
-        elif int(self.state.collection.num_submaps) > 1:
-            self.state = sm.optimize_local(self.cfg, self.state)
-        self.finished = True
-        self.mapping_enabled = False
-        return True
+        with self.lock:
+            if self.finished:
+                return False
+            if self.mapper is not None:
+                # one finalize implementation: delegate to the HostMapper
+                self.mapper.finish_map()
+                self.state = self.mapper.state
+            elif int(self.state.collection.num_submaps) > 1:
+                self.state = sm.optimize_local(self.cfg, self.state)
+            self.finished = True
+            self.mapping_enabled = False
+            return True
 
     # -- topics the client publishes --------------------------------------
 
@@ -150,12 +165,19 @@ class InProcessClient:
     def get_submap_by_time(self, t: float) -> Optional[SubmapHandle]:
         """None ⇒ t is ahead of this client's timeline ('future' fusion,
         reference ReqState::FUTURE, client_handler.h:106)."""
-        k = self._submap_index_at(t)
-        return None if k is None else self._handle(k)
+        with self.lock:
+            k = self._submap_index_at(t)
+            self.req_state = "future" if k is None else "success"
+            return None if k is None else self._handle(k)
 
     def get_all_submaps(self) -> List[SubmapHandle]:
-        return [self._handle(k)
-                for k in range(int(self.state.collection.num_submaps))]
+        # holding the pause lock = the reference client pausing submap
+        # processing while it serializes everything for the server
+        # (getAllClientSubmapsCallback + submap_proc_mutex_,
+        # coxgraph_client.cpp:83-106)
+        with self.lock:
+            return [self._handle(k)
+                    for k in range(int(self.state.collection.num_submaps))]
 
     def get_pose_history(self):
         """Full odom-frame trajectory (stamps, poses) — the client's
@@ -180,29 +202,33 @@ class InProcessClient:
         """Intra-client loop closure forwarded by the server
         (ClientHandler::pubLoopClosureMsg path, coxgraph_server.cpp:217-222).
         Converts time-stamped poses to a submap-level constraint."""
-        ka = self._submap_index_at(t_a)
-        kb = self._submap_index_at(t_b)
-        if ka is None or kb is None or ka == kb:
-            return False
-        T_sa_ta = self.lookup_pose_in_submap(ka, t_a)
-        T_sb_tb = self.lookup_pose_in_submap(kb, t_b)
-        T_sa_sb = geo.compose(
-            geo.compose(T_sa_ta, T_ta_tb), geo.inverse(T_sb_tb))
-        self.state = sm.add_loop_closure(self.state, ka, kb, T_sa_sb,
-                                         sqrt_info)
-        self.state = sm.optimize_local(self.cfg, self.state)
-        return True
+        with self.lock:
+            ka = self._submap_index_at(t_a)
+            kb = self._submap_index_at(t_b)
+            if ka is None or kb is None or ka == kb:
+                return False
+            T_sa_ta = self.lookup_pose_in_submap(ka, t_a)
+            T_sb_tb = self.lookup_pose_in_submap(kb, t_b)
+            T_sa_sb = geo.compose(
+                geo.compose(T_sa_ta, T_ta_tb), geo.inverse(T_sb_tb))
+            self.state = sm.add_loop_closure(self.state, ka, kb, T_sa_sb,
+                                             sqrt_info)
+            self.state = sm.optimize_local(self.cfg, self.state)
+            return True
 
     def apply_pose_updates(self, updates: List[Tuple[int, Array]]) -> None:
         """Server-optimized submap poses pushed back
-        (MapPoseUpdates topic, client_handler.cpp:106-129)."""
-        col = self.state.collection
-        T = np.asarray(col.T_odom_submap).copy()
-        for k, pose in updates:
-            T[k] = np.asarray(pose)
-            # don't echo server-pushed poses back as client updates
-            self._published_poses[int(k)] = T[k].copy()
-        self.state = dataclasses.replace(
-            self.state,
-            collection=dataclasses.replace(col,
-                                           T_odom_submap=jnp.asarray(T)))
+        (MapPoseUpdates topic, client_handler.cpp:106-129). Runs under the
+        pause lock: with async PGO this arrives from the server's solve
+        thread while the robot's frame loop owns ``state``."""
+        with self.lock:
+            col = self.state.collection
+            T = np.asarray(col.T_odom_submap).copy()
+            for k, pose in updates:
+                T[k] = np.asarray(pose)
+                # don't echo server-pushed poses back as client updates
+                self._published_poses[int(k)] = T[k].copy()
+            self.state = dataclasses.replace(
+                self.state,
+                collection=dataclasses.replace(col,
+                                               T_odom_submap=jnp.asarray(T)))

@@ -14,6 +14,7 @@ backend/node_collection.h:21-25).
 from __future__ import annotations
 
 import dataclasses
+import threading
 from typing import Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
@@ -70,6 +71,13 @@ class ServerConfig:
     # generateGlobalMeshEvent timer, coxgraph_server.h:275-283).
     publish_global_mesh_on_update: bool = False
     mesh_updates_per_client: int = 4
+    # Asynchronous PGO (the reference's std::async(optimizePoseGraph),
+    # coxgraph_server.cpp:471-473): a fusion kicks the global solve on a
+    # background thread and returns immediately, so robots keep
+    # integrating frames while the server optimizes; the NEXT fusion (or
+    # the final mesh) first waits out the previous solve
+    # (wait-for-previous, coxgraph_server.cpp:417-428).
+    async_pgo: bool = False
 
 
 def average_same_stamp(stamps: np.ndarray, poses: np.ndarray,
@@ -160,6 +168,17 @@ class CoxgraphServer:
         # auto-mesh bookkeeping (coxgraph_server.h:109, :183)
         self.global_mesh_need_update = 0
         self.global_mesh_initialized = False
+        # async-PGO machinery (optimize_thread_ + the wait-for-previous
+        # gate, coxgraph_server.cpp:417-428; state_lock plays the role of
+        # the reference's submap_add_/map_fuse_ mutexes,
+        # coxgraph_server.h:244-255)
+        self._opt_thread: Optional[threading.Thread] = None
+        self._state_lock = threading.RLock()
+        self.optimize_errors: List[str] = []
+        # fusion ↔ final-mesh mutual exclusion (the reference's
+        # final_mesh_gen_mutex_ timed lock, coxgraph_server.h:267 +
+        # coxgraph_server.cpp:111-116)
+        self._fusion_lock = threading.RLock()
 
     # ------------------------------------------------------------------
     # Distribution controller (distribution_controller.h:49-87)
@@ -169,11 +188,12 @@ class CoxgraphServer:
         self.in_control = in_control
 
     def state_query(self) -> dict:
-        boxes = [global_opt.transformed_aabb(
-            global_opt.submap_aabb(self.cfg.spec, s.layer), s.T_G_submap)
-            for s in self.submaps]
-        return {"n_submaps": len(self.submaps),
-                "aabbs": boxes}
+        with self._state_lock:
+            boxes = [global_opt.transformed_aabb(
+                global_opt.submap_aabb(self.cfg.spec, s.layer), s.T_G_submap)
+                for s in self.submaps]
+            return {"n_submaps": len(self.submaps),
+                    "aabbs": boxes}
 
     # ------------------------------------------------------------------
     # Fusion gating (needRefuse/needToFuse, coxgraph_server.cpp:372-394)
@@ -187,8 +207,9 @@ class CoxgraphServer:
         reference's publisher (global_tf_controller.cpp:41)."""
         if not self.in_control:
             return {}
-        return {(f"{prefix}_g", f"client{cid}_odom"): T
-                for cid, T in self.T_G_cli.items()}
+        with self._state_lock:
+            return {(f"{prefix}_g", f"client{cid}_odom"): T
+                    for cid, T in self.T_G_cli.items()}
 
     def need_to_fuse(self, cid_a: int, cid_b: int, t: float) -> bool:
         key = (min(cid_a, cid_b), max(cid_a, cid_b))
@@ -202,6 +223,10 @@ class CoxgraphServer:
     # ------------------------------------------------------------------
 
     def _add_submap(self, h: SubmapHandle) -> int:
+        with self._state_lock:
+            return self._add_submap_locked(h)
+
+    def _add_submap_locked(self, h: SubmapHandle) -> int:
         key = (h.client_id, h.client_submap_id)
         if key in self.cli_ser:
             sid = self.cli_ser[key]
@@ -267,11 +292,14 @@ class CoxgraphServer:
         (V,3) f32, faces (F,3) u32, colors (V,3) u8)."""
         verts, faces, cols = [], [], []
         base = 0
-        for (cid, csid), m in sorted(self.mesh_collection.items()):
-            sid = self.cli_ser.get((cid, csid))
-            if sid is None:
-                continue
-            T = np.asarray(self.submaps[sid].T_G_submap, np.float32)
+        with self._state_lock:
+            snapshot = [(cid, csid, m,
+                         np.asarray(self.submaps[self.cli_ser[(cid, csid)]]
+                                    .T_G_submap, np.float32))
+                        for (cid, csid), m in sorted(
+                            self.mesh_collection.items())
+                        if (cid, csid) in self.cli_ser]
+        for cid, csid, m, T in snapshot:
             v = geo.transform_points_np(T, m.vertices())
             verts.append(v)
             faces.append(np.asarray(m.faces, np.uint32) + base)
@@ -297,17 +325,18 @@ class CoxgraphServer:
         (both current and 'original', as the reference does with setPose +
         updateOriPose, client_handler.cpp:106-129), keep the global pose
         consistent, and rebuild the chain constraints."""
-        changed = False
-        for csid, T in updates:
-            sid = self.cli_ser.get((cid, int(csid)))
-            if sid is None:
-                continue
-            s = self.submaps[sid]
-            s.T_cli_submap = jnp.asarray(T)
-            s.T_G_submap = geo.compose(self.T_G_cli[cid], jnp.asarray(T))
-            changed = True
-        if changed:
-            self.update_submap_rp_constraints()
+        with self._state_lock:
+            changed = False
+            for csid, T in updates:
+                sid = self.cli_ser.get((cid, int(csid)))
+                if sid is None:
+                    continue
+                s = self.submaps[sid]
+                s.T_cli_submap = jnp.asarray(T)
+                s.T_G_submap = geo.compose(self.T_G_cli[cid], jnp.asarray(T))
+                changed = True
+            if changed:
+                self.update_submap_rp_constraints()
 
     def update_submap_rp_constraints(self) -> None:
         """Recompute per-client chain measurements from the current
@@ -385,17 +414,54 @@ class CoxgraphServer:
                 mf.from_time, mf.to_time, mf.T_from_to, mf.sqrt_info)
         if not self.need_to_fuse(mf.from_client, mf.to_client, mf.to_time):
             return False
-        ok = self._try_fuse(mf)
+        with self._fusion_lock:   # final_mesh_gen_mutex_ exclusion
+            ok = self._try_fuse(mf)
         if not ok:
             self.future_queue.append((mf, 0))
         return ok
 
+    # ------------------------------------------------------------------
+    # Async PGO (std::async(optimizePoseGraph), coxgraph_server.cpp:471-473)
+    # ------------------------------------------------------------------
+
+    def wait_for_optimize(self) -> None:
+        """Block until a background solve (if any) finishes — the
+        reference's wait-for-previous-optimization gate at the top of
+        fuseMap (coxgraph_server.cpp:417-428)."""
+        t = self._opt_thread
+        if t is not None:
+            t.join()
+            self._opt_thread = None
+
+    def _optimize_guarded(self) -> None:
+        try:
+            self.optimize()
+        except Exception as e:  # noqa: BLE001 — a solve failure must not
+            # kill the server process; surfaced via optimize_errors
+            self.optimize_errors.append(f"{type(e).__name__}: {e}")
+
+    def _kick_optimize(self) -> None:
+        if not self.cfg.async_pgo:
+            self.optimize()
+            return
+        self.wait_for_optimize()
+        self._opt_thread = threading.Thread(target=self._optimize_guarded,
+                                            daemon=True)
+        self._opt_thread.start()
+
     def _try_fuse(self, mf: MapFusionMsg) -> bool:
+        # the previous background solve must land before new constraints
+        # and submap refreshes touch the graph (coxgraph_server.cpp:417-428)
+        self.wait_for_optimize()
         ca = self.clients[mf.from_client]
         cb = self.clients[mf.to_client]
         ha = ca.get_submap_by_time(mf.from_time)
         hb = cb.get_submap_by_time(mf.to_time)
         if ha is None or hb is None:
+            # FUTURE (time ahead of the robot's map) or FAILED (robot
+            # unreachable) — both requeue and retry on later timeline
+            # updates, the reference's degradation
+            # (coxgraph_server.cpp:287-295, client_handler.cpp:103)
             return False
 
         sa = self._add_submap(ha)
@@ -405,6 +471,10 @@ class CoxgraphServer:
         # (coxgraph_server.cpp:449-464)
         T_sa_ta = ca.lookup_pose_in_submap(ha.client_submap_id, mf.from_time)
         T_sb_tb = cb.lookup_pose_in_submap(hb.client_submap_id, mf.to_time)
+        if T_sa_ta is None or T_sb_tb is None:
+            # robot died between the submap fetch and the pose lookup —
+            # the submaps stay collected (valid data), the fusion retries
+            return False
         T_sa_sb = geo.compose(geo.compose(T_sa_ta, mf.T_from_to),
                               geo.inverse(T_sb_tb))
 
@@ -448,54 +518,67 @@ class CoxgraphServer:
         self.fused[mf.to_client] = True
 
         if self.in_control:
-            self.optimize()
+            self._kick_optimize()
         return True
 
     # ------------------------------------------------------------------
     # Global optimization + client-frame alignment
     # ------------------------------------------------------------------
 
-    def optimize(self) -> dict:
+    def optimize(self, push_updates: bool = True) -> dict:
         """Two-phase global solve, then client-frame 4-DoF alignment and
         pose push-back (optimizePoseGraph + updateCliMapRelativePose,
-        coxgraph_server.cpp:503-582)."""
-        n = len(self.submaps)
-        if n < 2:
-            return {}
-        self.update_submap_rp_constraints()
-        poses = self._poses()
-        layers = [s.layer for s in self.submaps] + \
-            [self.submaps[0].layer] * (self.cfg.max_submaps - n)
-        # skip same-client adjacent pairs (already chained by odometry)
-        skip = [(self.cli_ser[(c, k)], self.cli_ser[(c, k + 1)])
-                for (c, k) in list(self.cli_ser)
-                if (c, k + 1) in self.cli_ser]
-        caches = [s.reg_cache for s in self.submaps]
-        # Gauge: pin the first submap of the REFERENCE client (lowest id
-        # among collected, the frame ClientTfOptimizer holds constant —
-        # node_collection.h:21-25 / client 0 constant). Pinning plain
-        # sid 0 freezes whichever client fused first at its PRE-alignment
-        # pose estimate; every later submap initialized from the aligned
-        # T_G_cli then fights that stale anchor and the map ends up
-        # internally inconsistent.
-        ref_cid = min(s.client_id for s in self.submaps)
-        anchor = next(s.sid for s in self.submaps
-                      if s.client_id == ref_cid)
-        fixed = np.zeros((poses.shape[0],), bool)
-        fixed[anchor] = True
+        coxgraph_server.cpp:503-582). ``push_updates=False`` keeps the
+        result server-side (used by the isolated final-mesh solve — the
+        reference's visualizer copy never pushes either).
+
+        Thread discipline for async_pgo: the graph snapshot and the pose
+        application run under _state_lock; the heavy solve runs unlocked
+        so server readers (state_query, meshes, TF pulls) stay responsive
+        while it grinds — the reference's pose_update_mutex shape
+        (global_tf_controller.h:118). New submaps/constraints can't land
+        mid-solve because every fusion first waits the solve out
+        (_try_fuse → wait_for_optimize)."""
+        with self._state_lock:
+            n = len(self.submaps)
+            if n < 2:
+                return {}
+            self.update_submap_rp_constraints()
+            poses = self._poses()
+            layers = [s.layer for s in self.submaps]
+            constraints = self.constraints
+            # skip same-client adjacent pairs (already chained by odometry)
+            skip = [(self.cli_ser[(c, k)], self.cli_ser[(c, k + 1)])
+                    for (c, k) in list(self.cli_ser)
+                    if (c, k + 1) in self.cli_ser]
+            caches = [s.reg_cache for s in self.submaps]
+            # Gauge: pin the first submap of the REFERENCE client (lowest
+            # id among collected, the frame ClientTfOptimizer holds
+            # constant — node_collection.h:21-25 / client 0 constant).
+            # Pinning plain sid 0 freezes whichever client fused first at
+            # its PRE-alignment pose estimate; every later submap
+            # initialized from the aligned T_G_cli then fights that stale
+            # anchor and the map ends up internally inconsistent.
+            ref_cid = min(s.client_id for s in self.submaps)
+            anchor = next(s.sid for s in self.submaps
+                          if s.client_id == ref_cid)
+            fixed = np.zeros((poses.shape[0],), bool)
+            fixed[anchor] = True
         new_poses, info = global_opt.optimize_two_phase(
-            poses, self.constraints, self.cfg.spec, layers[:n],
+            poses, constraints, self.cfg.spec, layers,
             reg_cfg=self.cfg.registration, solver_cfg=self.cfg.solver,
             registration_weight=self.cfg.registration_weight,
             skip_pairs=skip, reg_caches=caches, fixed=jnp.asarray(fixed))
-        for s, c in zip(self.submaps, caches):
-            s.reg_cache = c
-        self._apply_global_poses(new_poses)
-        self._align_client_frames(new_poses)
-        self._push_pose_updates()
-        if self.cfg.verbose:
-            info["residuals"] = self.evaluate_residuals()
-        self.fusion_log.append(info)
+        with self._state_lock:
+            for s, c in zip(self.submaps, caches):
+                s.reg_cache = c
+            self._apply_global_poses(new_poses)
+            self._align_client_frames(new_poses)
+            if push_updates:
+                self._push_pose_updates()
+            if self.cfg.verbose:
+                info["residuals"] = self.evaluate_residuals()
+            self.fusion_log.append(info)
         return info
 
     def evaluate_residuals(self) -> Dict[str, list]:
@@ -572,46 +655,87 @@ class CoxgraphServer:
                 for h in c.get_all_submaps():
                     self._add_submap(h)
 
+    # -- graph snapshot/restore: the ServerVisualizer deep-copy
+    # (copy SubmapCollection + PoseGraphInterface before the final-mesh
+    # re-optimization, server_visualizer.cpp:28-31) --------------------
+
+    def _snapshot_graph(self) -> dict:
+        with self._state_lock:
+            return {
+                "submaps": [dataclasses.replace(s) for s in self.submaps],
+                "cli_ser": dict(self.cli_ser),
+                "constraints": self.constraints,   # immutable pytree
+                "constraint_kinds": list(self.constraint_kinds),
+                "T_G_cli": dict(self.T_G_cli),
+                "fused": dict(self.fused),
+            }
+
+    def _restore_graph(self, snap: dict) -> None:
+        with self._state_lock:
+            self.submaps = snap["submaps"]
+            self.cli_ser = snap["cli_ser"]
+            self.constraints = snap["constraints"]
+            self.constraint_kinds = snap["constraint_kinds"]
+            self.T_G_cli = snap["T_G_cli"]
+            self.fused = snap["fused"]
+
     def get_final_global_mesh(self, ply_path: Optional[str] = None,
                               min_weight: float = 0.1,
                               mesh_spec: Optional[vx.VoxelGridSpec] = None,
-                              device_mesh=None):
+                              device_mesh=None,
+                              isolate: bool = True):
         """Drain pending fusions, pull every submap, re-optimize, merge in
         the global frame and mesh (ServerVisualizer::getFinalGlobalMesh,
         server_visualizer.cpp:20-142). With ``device_mesh`` (a
         jax.sharding.Mesh) the per-submap merge loop runs distributed —
         submaps sharded over the devices, one psum reduces the fused
-        pools (parallel/merge_sharded)."""
-        self.process_mf_future()
-        self.collect_all_submaps()
-        self.global_mesh_initialized = True
-        self.global_mesh_need_update = 0   # any mesh restarts the window
-        if self.in_control and len(self.submaps) >= 2:
-            self.optimize()
-        spec = mesh_spec or self.cfg.spec
-        poses = self._poses()
-        src_spec = self.cfg.spec if spec != self.cfg.spec else None
-        if device_mesh is not None and self.submaps:
-            from ..parallel import merge_sharded as msh
-            merged = msh.merge_layers_sharded(
-                spec, device_mesh, [s.layer for s in self.submaps],
-                [poses[s.sid] for s in self.submaps], src_spec=src_spec)
-            verts, cols = msh.extract_mesh_sharded(
-                spec, device_mesh, merged, min_weight=min_weight)
-            if ply_path:
-                export.write_ply(ply_path, verts, cols)
-            return merged, verts, cols
-        else:
-            merged = vx.create_tsdf_layer(spec)
-            for s in self.submaps:
-                # submaps stay at client resolution; the global mesh layer
-                # may be finer/coarser (server 0.05 m vs client 0.10 m
-                # voxels, coxgraph_server.launch:5-6) — cross-spec
-                # resampling merge
-                merged = merge_ops.merge_layer_into(
-                    spec, merged, s.layer, poses[s.sid], src_spec=src_spec)
-        verts, cols = mesh_ops.extract_mesh(spec, merged,
-                                            min_weight=min_weight)
+        pools (parallel/merge_sharded).
+
+        ``isolate=True`` (default) runs the late-submap collection and
+        re-optimization on a DEEP COPY of the pose graph and restores the
+        online state afterwards — the reference copies the submap
+        collection + pose-graph interface before the final-mesh solve so
+        the online graph is untouched (server_visualizer.cpp:28-31);
+        concurrent fusion is locked out meanwhile (final_mesh_gen_mutex_,
+        coxgraph_server.cpp:111-116). Pass isolate=False for the
+        end-of-run export where the re-optimized poses SHOULD stick."""
+        with self._fusion_lock:
+            self.wait_for_optimize()
+            self.process_mf_future()
+            snap = self._snapshot_graph() if isolate else None
+            try:
+                self.collect_all_submaps()
+                self.global_mesh_initialized = True
+                self.global_mesh_need_update = 0   # restart the window
+                if self.in_control and len(self.submaps) >= 2:
+                    self.optimize(push_updates=not isolate)
+                spec = mesh_spec or self.cfg.spec
+                poses = self._poses()
+                src_spec = self.cfg.spec if spec != self.cfg.spec else None
+                if device_mesh is not None and self.submaps:
+                    from ..parallel import merge_sharded as msh
+                    merged = msh.merge_layers_sharded(
+                        spec, device_mesh, [s.layer for s in self.submaps],
+                        [poses[s.sid] for s in self.submaps],
+                        src_spec=src_spec)
+                    verts, cols = msh.extract_mesh_sharded(
+                        spec, device_mesh, merged, min_weight=min_weight)
+                else:
+                    merged = vx.create_tsdf_layer(spec)
+                    for s in self.submaps:
+                        # submaps stay at client resolution; the global
+                        # mesh layer may be finer/coarser (server 0.05 m
+                        # vs client 0.10 m voxels,
+                        # coxgraph_server.launch:5-6) — cross-spec
+                        # resampling merge
+                        merged = merge_ops.merge_layer_into(
+                            spec, merged, s.layer, poses[s.sid],
+                            src_spec=src_spec)
+                    verts, cols = mesh_ops.extract_mesh(
+                        spec, merged, min_weight=min_weight)
+            finally:
+                if snap is not None:
+                    self._restore_graph(snap)
         if ply_path:
             export.write_ply(ply_path, verts, cols)
         return merged, verts, cols
@@ -689,12 +813,15 @@ class CoxgraphServer:
         averaged componentwise, as the reference does with
         kindr::interpolateComponentwise (submap_collection.h:95-144)."""
         stamps, poses = [], []
-        for s in self.submaps:
-            if s.client_id != client_id or len(s.hist_stamps) == 0:
-                continue
-            T_G_sm = np.asarray(s.T_G_submap)
-            seg = geo.compose_np(T_G_sm[None, :], np.asarray(s.hist_poses))
-            stamps.append(s.hist_stamps)
+        with self._state_lock:
+            snapshot = [(s.hist_stamps, np.asarray(s.hist_poses),
+                         np.asarray(s.T_G_submap))
+                        for s in self.submaps
+                        if s.client_id == client_id
+                        and len(s.hist_stamps) > 0]
+        for hist_stamps, hist_poses, T_G_sm in snapshot:
+            seg = geo.compose_np(T_G_sm[None, :], hist_poses)
+            stamps.append(hist_stamps)
             poses.append(seg)
         if not stamps:
             return np.zeros((0,)), np.zeros((0, 7))

@@ -1,0 +1,149 @@
+"""Asynchronous PGO overlap — the reference runs the global solve on a
+detached thread while integration continues
+(std::async(optimizePoseGraph), coxgraph_server.cpp:471-473) and gates
+the next fusion on the previous solve (wait-for-previous, :417-428).
+These tests pin that behavior: a fusion returns while the solve is still
+in flight, frames integrate DURING the solve, the next fusion waits, and
+a solve failure is contained (not a server crash)."""
+
+import threading
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from coxgraph_tpu.core import geometry as geo, voxel as vx
+from coxgraph_tpu.frontends import synthetic as syn
+from coxgraph_tpu.mapper import submap_mapper as sm
+from coxgraph_tpu.ops import tsdf as tsdf_ops
+from coxgraph_tpu.server import fusion_server as fs
+from coxgraph_tpu.server.client_interface import InProcessClient
+from coxgraph_tpu.solver import pose_graph as pg
+
+SPEC = vx.VoxelGridSpec(voxel_size=0.1, voxels_per_side=8, grid_dim=16,
+                        max_blocks=256, truncation=0.3)
+CFG = sm.MapperConfig(
+    spec=SPEC,
+    integrator=tsdf_ops.TsdfIntegratorConfig(max_touched_blocks=64),
+    intrinsics=syn.PinholeIntrinsics().scaled(0.125),
+    max_submaps=4, max_history=32, submap_interval=100.0)
+
+
+def make_robot(client_id=0):
+    scene = syn.default_scene()
+    T = syn.orbit_trajectory(1, scene.room_center, radius=2.5)[0]
+    depth, color = syn.render_depth(scene, CFG.intrinsics, T)
+    state = sm.create_mapper(CFG)
+    state = sm.start_submap(CFG, state, T, jnp.asarray(0.0))
+    state = sm.integrate(CFG, state, depth, color, T, jnp.asarray(0.0))
+    return InProcessClient(client_id, CFG, state), (depth, color, T)
+
+
+def gate_optimize(server):
+    """Wrap server.optimize so the test can hold the solve mid-flight:
+    → (started_evt, release_evt)."""
+    started, release = threading.Event(), threading.Event()
+    real = server.optimize
+
+    def gated():
+        started.set()
+        assert release.wait(30)
+        return real()
+
+    server.optimize = gated
+    return started, release
+
+
+def test_fusion_returns_while_solve_runs_and_integration_overlaps():
+    robots = [make_robot(0), make_robot(1)]
+    clients = [r[0] for r in robots]
+    server = fs.CoxgraphServer(
+        fs.ServerConfig(spec=SPEC, max_submaps=8, refuse_interval=0.0,
+                        async_pgo=True,
+                        solver=pg.SolverConfig(iterations=3)),
+        clients)
+    started, release = gate_optimize(server)
+
+    mf = fs.MapFusionMsg(from_client=0, from_time=0.0, to_client=1,
+                         to_time=0.0, T_from_to=geo.identity())
+    t0 = time.monotonic()
+    assert server.map_fusion(mf)          # returns with the solve pending
+    dispatch_dt = time.monotonic() - t0
+    assert started.wait(10)
+    assert server._opt_thread is not None and server._opt_thread.is_alive()
+    assert len(server.fusion_log) == 0    # solve hasn't landed yet
+
+    # a robot keeps integrating frames while the solve is in flight —
+    # the frame loop rebinds client.state under the pause lock
+    depth, color, T = robots[0][1]
+    c0 = clients[0]
+    w_before = float(jnp.sum(c0.state.collection.layers.weight))
+    for i in range(3):
+        with c0.lock:
+            c0.state = sm.integrate(CFG, c0.state, depth, color, T,
+                                    jnp.asarray(0.1 * (i + 1)))
+    w_during = float(jnp.sum(c0.state.collection.layers.weight))
+    assert w_during > w_before            # integration progressed mid-solve
+    assert server._opt_thread.is_alive()  # ...while the solve still ran
+
+    release.set()
+    server.wait_for_optimize()
+    assert len(server.fusion_log) == 1
+    assert server.optimize_errors == []
+    # the dispatch path (minus the solve) is fast
+    assert dispatch_dt < 30.0
+
+
+def test_next_fusion_waits_for_previous_solve():
+    clients = [make_robot(0)[0], make_robot(1)[0]]
+    server = fs.CoxgraphServer(
+        fs.ServerConfig(spec=SPEC, max_submaps=8, refuse_interval=0.0,
+                        async_pgo=True,
+                        solver=pg.SolverConfig(iterations=3)),
+        clients)
+    started, release = gate_optimize(server)
+
+    mf = fs.MapFusionMsg(from_client=0, from_time=0.0, to_client=1,
+                         to_time=0.0, T_from_to=geo.identity())
+    assert server.map_fusion(mf)
+    assert started.wait(10)
+
+    done2 = threading.Event()
+
+    def second_fusion():
+        server.map_fusion(fs.MapFusionMsg(
+            from_client=0, from_time=0.0, to_client=1, to_time=0.0,
+            T_from_to=geo.identity()))
+        done2.set()
+
+    t = threading.Thread(target=second_fusion)
+    t.start()
+    # the second fusion must park on wait-for-previous, not proceed
+    assert not done2.wait(0.5)
+    release.set()
+    assert done2.wait(30)
+    t.join()
+    server.wait_for_optimize()
+    assert len(server.fusion_log) == 2
+    assert server.optimize_errors == []
+
+
+def test_solve_failure_is_contained():
+    clients = [make_robot(0)[0], make_robot(1)[0]]
+    server = fs.CoxgraphServer(
+        fs.ServerConfig(spec=SPEC, max_submaps=8, refuse_interval=0.0,
+                        async_pgo=True,
+                        solver=pg.SolverConfig(iterations=3)),
+        clients)
+
+    def boom():
+        raise RuntimeError("synthetic solver blow-up")
+
+    server.optimize = boom
+    mf = fs.MapFusionMsg(from_client=0, from_time=0.0, to_client=1,
+                         to_time=0.0, T_from_to=geo.identity())
+    assert server.map_fusion(mf)          # kick — no raise in caller
+    server.wait_for_optimize()
+    assert server.optimize_errors and "blow-up" in server.optimize_errors[0]
+    # server still functional afterwards
+    assert server.state_query()["n_submaps"] == 2

@@ -377,6 +377,65 @@ def test_client_pose_history_over_bus(broker):
         t.join()
 
 
+def test_server_survives_dead_client_mid_fusion(broker):
+    """ReqState::FAILED semantics (client_handler.h:106,
+    coxgraph_server.cpp:287-295): a robot whose service is ADVERTISED but
+    whose pump died mid-fusion makes the RPC time out — the server must
+    survive (no raise), record FAILED, queue the fusion, and recover once
+    the robot's pump returns."""
+    from coxgraph_tpu.server import fusion_server as fs
+    from coxgraph_tpu.solver import pose_graph as pg
+
+    robots = [make_robot(client_id=0), make_robot(client_id=1)]
+    svcs = [cbus.ClientService(broker, r, SPEC) for r in robots]
+    stop0 = threading.Event()
+
+    def pump0():
+        while not stop0.is_set():
+            svcs[0].step(timeout_ms=20)
+
+    t0 = threading.Thread(target=pump0)
+    t0.start()
+    # svc[1] advertised its services but is NOT pumped — a dead robot
+
+    proxies = [cbus.RemoteClient(broker, client_id=cid, spec=SPEC,
+                                 timeout_ms=1500) for cid in range(2)]
+    server = fs.CoxgraphServer(
+        fs.ServerConfig(spec=SPEC, max_submaps=8, refuse_interval=0.0,
+                        solver=pg.SolverConfig(iterations=3)),
+        proxies)
+    mf = fs.MapFusionMsg(from_client=0, from_time=0.0, to_client=1,
+                         to_time=0.0, T_from_to=geo.identity())
+    try:
+        # must NOT raise: the RPC to client 1 times out
+        assert server.map_fusion(mf) is False
+        assert proxies[1].req_state == cbus.ReqState.FAILED
+        assert proxies[1].failures >= 1
+        assert len(server.future_queue) == 1
+
+        # robot 1's pump comes back → retry on the next timeline update
+        stop1 = threading.Event()
+
+        def pump1():
+            while not stop1.is_set():
+                svcs[1].step(timeout_ms=20)
+
+        t1 = threading.Thread(target=pump1)
+        t1.start()
+        try:
+            server.time_line_update()
+            assert len(server.future_queue) == 0
+            assert len(server.submaps) == 2
+            assert proxies[1].req_state == cbus.ReqState.SUCCESS
+            assert len(server.fusion_log) == 1
+        finally:
+            stop1.set()
+            t1.join()
+    finally:
+        stop0.set()
+        t0.join()
+
+
 def test_server_survives_unreachable_client(broker):
     """ClientHandler FAILED semantics (client_handler.cpp:103,
     coxgraph_server.cpp:287-295): a fusion whose client can't serve the

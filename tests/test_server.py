@@ -112,6 +112,44 @@ def test_global_mesh_covers_union(world, tmp_path):
     assert np.median(err) < 0.12
 
 
+def test_final_mesh_isolation(world):
+    """get_final_global_mesh must NOT mutate the online graph: the
+    reference deep-copies the submap collection + pose-graph interface
+    before the final-mesh re-optimization (server_visualizer.cpp:28-31).
+    Online poses, constraints and T_G_cli are bit-identical after."""
+    scene, trajs, X, clients = world
+    server = make_server(list(clients))
+    server.map_fusion(true_fusion_msg(trajs, 3, 3))
+
+    before_poses = [np.asarray(s.T_G_submap).copy() for s in server.submaps]
+    before_cli = [np.asarray(s.T_cli_submap).copy() for s in server.submaps]
+    before_con = jax.tree.map(lambda x: np.asarray(x).copy(),
+                              server.constraints)
+    before_kinds = list(server.constraint_kinds)
+    before_tg = {c: np.asarray(T).copy() for c, T in server.T_G_cli.items()}
+    n_before = len(server.submaps)
+
+    merged, verts, _ = server.get_final_global_mesh()   # isolate=True
+    assert verts.shape[0] > 0
+
+    assert len(server.submaps) == n_before              # no late-submap leak
+    for s, p, pc in zip(server.submaps, before_poses, before_cli):
+        np.testing.assert_array_equal(np.asarray(s.T_G_submap), p)
+        np.testing.assert_array_equal(np.asarray(s.T_cli_submap), pc)
+    after_con = jax.tree.map(np.asarray, server.constraints)
+    for a, b in zip(jax.tree.leaves(after_con),
+                    jax.tree.leaves(before_con)):
+        np.testing.assert_array_equal(a, b)
+    assert server.constraint_kinds == before_kinds
+    for c in before_tg:
+        np.testing.assert_array_equal(np.asarray(server.T_G_cli[c]),
+                                      before_tg[c])
+
+    # isolate=False is the end-of-run export where the solve SHOULD stick
+    server.get_final_global_mesh(isolate=False)
+    assert len(server.submaps) >= n_before
+
+
 def test_merge_to_client_map(world):
     scene, trajs, X, clients = world
     server = make_server(list(clients))
