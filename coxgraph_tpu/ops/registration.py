@@ -38,6 +38,14 @@ class RegistrationConfig:
     huber_delta: float = 0.1      # m, robust loss on sdf residuals
     iterations: int = 12          # GN iterations for pairwise alignment
     damping: float = 1e-3
+    # Block budget per submap in the STACKED field view of the batched
+    # phase-2 solve (global_opt._phase2_solve): live pool rows [0, R) of
+    # every submap are stacked into one (S·R, v³) field so all pairs
+    # sample in ONE dispatch. Blocks beyond R (late allocations in very
+    # large submaps) fall out of the registration sampling only — the
+    # reference subsamples registration points anyway (sampling_ratio
+    # 0.3, server.yaml:30). Bounds the transient stack memory.
+    max_reg_blocks: int = 1024
 
 
 @partial(jax.jit, static_argnums=(0, 2))
@@ -52,6 +60,15 @@ def extract_surface_points(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
         & (jnp.abs(layer.sdf) < cfg.band * spec.truncation)
     )
     score = jnp.where(surf, layer.weight, -1.0).reshape(-1)
+    # deterministic sub-ULP-scale tie jitter: saturated weights (the
+    # integrator caps observation weight) would otherwise make top_k
+    # degenerate to lowest-pool-slot order, collapsing every sample into
+    # the earliest-allocated corner of the submap — spatially biased
+    # registration (voxgraph random-subsamples for the same reason,
+    # sampling_ratio 0.3, server.yaml:30)
+    h = jnp.arange(score.shape[0], dtype=jnp.uint32) * jnp.uint32(2654435761)
+    jitter = (h >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    score = jnp.where(score > 0, score * (1.0 + 1e-3 * jitter), score)
     _, idx = jax.lax.top_k(score, cfg.max_points)
     mask = score[idx] > 0.0
     centers = vx.voxel_centers_of_block(spec, layer.block_coords)

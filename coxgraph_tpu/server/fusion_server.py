@@ -71,6 +71,14 @@ class ServerConfig:
     # generateGlobalMeshEvent timer, coxgraph_server.h:275-283).
     publish_global_mesh_on_update: bool = False
     mesh_updates_per_client: int = 4
+    # Absolute height priors on submap nodes (voxgraph HeightConstraint,
+    # SURVEY.md §2.9): > 0 enables one prior per collected submap at its
+    # client-odom z (VIO odometry is gravity-aligned, so odom z is an
+    # absolute height measurement). These pin the cumulative pitch+z
+    # drift mode that purely relative chain/loop/registration residuals
+    # cannot observe (tests/test_global_opt_scale.py demonstrates the
+    # runaway without them). 0 disables (reference default: off).
+    height_prior_stddev: float = 0.0
     # Asynchronous PGO (the reference's std::async(optimizePoseGraph),
     # coxgraph_server.cpp:471-473): a fusion kicks the global solve on a
     # background thread and returns immediately, so robots keep
@@ -148,6 +156,9 @@ class CoxgraphServer:
         self.submaps: List[ServerSubmap] = []
         self.cli_ser: Dict[Tuple[int, int], int] = {}
         self.constraints = pg.RelPoseConstraints.empty(cfg.max_constraints)
+        # absolute height priors, one per submap when enabled
+        # (cfg.height_prior_stddev > 0)
+        self.heights = pg.HeightConstraints.empty(cfg.max_submaps)
         # host-side constraint type tags, insertion order ("submap_rp" =
         # per-client chain, "fusion" = inter-robot loop), for residual
         # reporting by type (evaluateResiduals, coxgraph_server.cpp:541-554)
@@ -252,6 +263,12 @@ class CoxgraphServer:
             start_time=h.start_time, end_time=h.end_time,
             hist_stamps=h.hist_stamps, hist_poses=h.hist_poses))
         self.cli_ser[key] = sid
+        if self.cfg.height_prior_stddev > 0:
+            # odom z as an absolute height measurement (gravity-aligned
+            # VIO frame) — voxgraph HeightConstraint wiring
+            z = float(np.asarray(h.T_cli_submap)[6])
+            self.heights = self.heights.add(sid, z,
+                                            self.cfg.height_prior_stddev)
         # chain constraint to the previous submap of the same client
         # (updateSubmapRPConstraints, pose_graph_interface.cpp:51-71)
         prev = self.cli_ser.get((h.client_id, h.client_submap_id - 1))
@@ -547,6 +564,8 @@ class CoxgraphServer:
             poses = self._poses()
             layers = [s.layer for s in self.submaps]
             constraints = self.constraints
+            heights = (self.heights if self.cfg.height_prior_stddev > 0
+                       else None)
             # skip same-client adjacent pairs (already chained by odometry)
             skip = [(self.cli_ser[(c, k)], self.cli_ser[(c, k + 1)])
                     for (c, k) in list(self.cli_ser)
@@ -568,7 +587,8 @@ class CoxgraphServer:
             poses, constraints, self.cfg.spec, layers,
             reg_cfg=self.cfg.registration, solver_cfg=self.cfg.solver,
             registration_weight=self.cfg.registration_weight,
-            skip_pairs=skip, reg_caches=caches, fixed=jnp.asarray(fixed))
+            skip_pairs=skip, reg_caches=caches, fixed=jnp.asarray(fixed),
+            heights=heights)
         with self._state_lock:
             for s, c in zip(self.submaps, caches):
                 s.reg_cache = c
@@ -666,6 +686,7 @@ class CoxgraphServer:
                 "cli_ser": dict(self.cli_ser),
                 "constraints": self.constraints,   # immutable pytree
                 "constraint_kinds": list(self.constraint_kinds),
+                "heights": self.heights,
                 "T_G_cli": dict(self.T_G_cli),
                 "fused": dict(self.fused),
             }
@@ -676,6 +697,7 @@ class CoxgraphServer:
             self.cli_ser = snap["cli_ser"]
             self.constraints = snap["constraints"]
             self.constraint_kinds = snap["constraint_kinds"]
+            self.heights = snap["heights"]
             self.T_G_cli = snap["T_G_cli"]
             self.fused = snap["fused"]
 

@@ -15,6 +15,7 @@ control-rate, not frame-rate, code).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -124,6 +125,39 @@ def check_loop_closure_candidates(
     return out
 
 
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (int(n) - 1).bit_length())
+
+
+def _stack_fields(layers: Sequence[vx.TsdfLayer], R: int):
+    """Stack the sampling fields of S submaps into one flat pool so every
+    registration pair reads through ONE device-resident structure:
+    → (sdf (S·R, v³), weight (S·R, v³), block_index (S, G³) with values
+    remapped to local slots [0, R) or -1). The per-layer ops reuse one
+    compiled slice program; the stack compiles once per S bucket."""
+    sdf = jnp.stack([l.sdf[:R] for l in layers])
+    w = jnp.stack([l.weight[:R] for l in layers])
+    v3 = sdf.shape[-1]
+    bi = jnp.stack([
+        jnp.where((b >= 0) & (b < R), b, -1)
+        for b in (l.block_index.reshape(-1) for l in layers)])
+    return sdf.reshape(-1, v3), w.reshape(-1, v3), bi
+
+
+def _field_view(sdf_flat: Array, w_flat: Array, bi_row: Array,
+                j: Array, R: int) -> vx.TsdfLayer:
+    """Zero-copy TsdfLayer view of submap j inside the stacked field:
+    block-index values shift by j·R into the flat pool; color/coords are
+    unused by the trilinear sampler (dummy leaves)."""
+    bi = jnp.where(bi_row >= 0, bi_row + j * R, -1)
+    return vx.TsdfLayer(
+        sdf=sdf_flat, weight=w_flat,
+        color=jnp.zeros((1, 3), sdf_flat.dtype),
+        block_index=bi,
+        block_coords=jnp.zeros((1, 3), jnp.int32),
+        num_blocks=jnp.asarray(R, jnp.int32))
+
+
 @dataclasses.dataclass
 class RegistrationPair:
     i: int
@@ -155,6 +189,95 @@ def make_registration_pairs(spec: vx.VoxelGridSpec,
     return out
 
 
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def _phase2_solve(spec: vx.VoxelGridSpec, poses: Array,
+                  constraints: pg.RelPoseConstraints,
+                  solver_cfg: pg.SolverConfig, reg_iterations: int,
+                  fixed_all: Array,
+                  sdf_flat: Array, w_flat: Array, bi: Array,
+                  pair_i: Array, pair_j: Array, pair_valid: Array,
+                  pts: Array, sdfA: Array, maskA: Array,
+                  w2: Array, huber_delta: Array,
+                  heights: Optional[pg.HeightConstraints] = None):
+    """Joint phase-2 LM: relative-pose constraints + dense registration
+    residuals of ALL pairs, every GN iteration fused into this ONE
+    compiled program (the round-1 version issued one
+    registration_normal_eq dispatch per pair per iteration from a host
+    loop — hundreds of ~1.3 ms tunnel round trips per solve at 64
+    submaps; see docs/PERFORMANCE.md 'Server-solve discipline').
+
+    Trust behavior matches the reference's Ceres LM (trust-region
+    accept/reject + damping adaptation, pose_graph_interface.cpp:32-49):
+    a step that increases the combined cost is rejected and the damping
+    raised, so the cost trace is monotonically non-increasing.
+
+    Shapes: pair_i/j/valid (P,), pts (P,Q,3), sdfA/maskA (P,Q); padded
+    pairs carry valid=False and contribute exactly zero."""
+    n = poses.shape[0]
+    S = bi.shape[0]
+    R = sdf_flat.shape[0] // S
+
+    def pair_terms(cur_poses):
+        def one(jj, bi_row, p, sA, m, Ti, Tj):
+            view = _field_view(sdf_flat, w_flat, bi_row, jj, R)
+            return reg.registration_normal_eq(spec, view, p, sA, m, Ti, Tj,
+                                              huber_delta)
+        Hs, bs, costs, nins = jax.vmap(one)(
+            pair_j, bi[pair_j], pts, sdfA, maskA,
+            cur_poses[pair_i], cur_poses[pair_j])
+        scale = jnp.where(pair_valid,
+                          w2 / jnp.maximum(nins.astype(w2.dtype), 1.0), 0.0)
+        return (Hs * scale[:, None, None], bs * scale[:, None],
+                jnp.sum(costs * scale))
+
+    def assemble(cur_poses):
+        H, b, c_rel = pg._build_normal_equations(cur_poses, constraints,
+                                                 solver_cfg, fixed_all,
+                                                 heights)
+        Hs, bs, c_reg = pair_terms(cur_poses)
+        Hr = jnp.zeros((n, 6, n, 6), H.dtype)
+        Hr = Hr.at[pair_i, :, pair_i, :].add(Hs[:, :6, :6])
+        Hr = Hr.at[pair_i, :, pair_j, :].add(Hs[:, :6, 6:])
+        Hr = Hr.at[pair_j, :, pair_i, :].add(Hs[:, 6:, :6])
+        Hr = Hr.at[pair_j, :, pair_j, :].add(Hs[:, 6:, 6:])
+        br = jnp.zeros((n, 6), b.dtype)
+        br = br.at[pair_i].add(bs[:, :6])
+        br = br.at[pair_j].add(bs[:, 6:])
+        H = H + Hr.reshape(6 * n, 6 * n)
+        b = b + br.reshape(6 * n)
+        # re-apply gauge zeroing for rows the registration blocks touched
+        fmask = jnp.repeat(fixed_all, 6)
+        H = jnp.where(fmask[:, None] | fmask[None, :], 0.0, H)
+        H = H + jnp.diag(fmask.astype(H.dtype))
+        b = jnp.where(fmask, 0.0, b)
+        return H, b, c_rel + c_reg
+
+    def total_cost(cur_poses):
+        _, _, c_reg = pair_terms(cur_poses)
+        return pg._total_cost(cur_poses, constraints, solver_cfg,
+                              heights) + c_reg
+
+    def step(carry, _):
+        cur_poses, lam = carry
+        H, b, cost = assemble(cur_poses)
+        Hd = H + lam * jnp.diag(jnp.maximum(jnp.diag(H), 1e-8))
+        delta = jax.scipy.linalg.solve(Hd, -b, assume_a="pos")
+        trial = pg._apply_delta(cur_poses, delta, solver_cfg)
+        trial_cost = total_cost(trial)
+        accept = trial_cost < cost
+        cur_poses = jax.tree.map(
+            lambda a, b_: jnp.where(accept, a, b_), trial, cur_poses)
+        lam = jnp.where(accept, lam * solver_cfg.damping_down,
+                        lam * solver_cfg.damping_up)
+        lam = jnp.clip(lam, 1e-9, 1e6)
+        return (cur_poses, lam), cost
+
+    (out, _), cost_trace = jax.lax.scan(
+        step, (poses, jnp.asarray(solver_cfg.damping_init)), None,
+        length=reg_iterations)
+    return out, cost_trace, total_cost(out)
+
+
 def optimize_two_phase(poses: Array,
                        constraints: pg.RelPoseConstraints,
                        spec: vx.VoxelGridSpec,
@@ -166,11 +289,16 @@ def optimize_two_phase(poses: Array,
                        fixed: Optional[Array] = None,
                        skip_pairs: Optional[Sequence[Tuple[int, int]]] = None,
                        reg_caches: Optional[list] = None,
+                       heights: Optional[pg.HeightConstraints] = None,
                        ) -> Tuple[Array, dict]:
-    """Phase 1: LM over relative-pose constraints. Phase 2: joint GN adding
-    registration residuals of overlapping pairs. Returns (poses, info)."""
+    """Phase 1: LM over relative-pose constraints (+ optional absolute
+    height priors — voxgraph HeightConstraint parity; these also remove
+    the cumulative pitch/z drift mode that purely relative constraints
+    cannot observe). Phase 2: joint LM adding registration residuals of
+    overlapping pairs. Returns (poses, info)."""
     n = poses.shape[0]
-    res1 = pg.optimize(poses, constraints, solver_cfg, fixed=fixed)
+    res1 = pg.optimize(poses, constraints, solver_cfg, fixed=fixed,
+                       heights=heights)
     poses = res1.poses
 
     if registration_weight == 0.0:
@@ -199,43 +327,50 @@ def optimize_two_phase(poses: Array,
     cj = np.asarray(constraints.j)[np.asarray(constraints.valid)]
     touched[ci] = True
     touched[cj] = True
+    if heights is not None:
+        hv = np.asarray(heights.valid)
+        touched[np.asarray(heights.i)[hv]] = True
     for p in rpairs:
         touched[p.i] = True
         touched[p.j] = True
     fixed_all = jnp.asarray(fixed_np | ~touched)
 
-    w2 = registration_weight ** 2
-    for _ in range(reg_iterations):
-        H, b, _ = pg._build_normal_equations(poses, constraints, solver_cfg,
-                                             fixed_all)
-        H = np.array(H)   # writable host copies
-        b = np.array(b)
-        poses_np = np.asarray(poses)
-        for p in rpairs:
-            Hp, bp, _, nin = reg.registration_normal_eq(
-                spec, layers[p.j], p.pts_i, p.sdf_i, p.mask_i,
-                jnp.asarray(poses_np[p.i]), jnp.asarray(poses_np[p.j]),
-                reg_cfg.huber_delta)
-            scale = w2 / max(int(nin), 1)
-            Hp = np.asarray(Hp) * scale
-            bp = np.asarray(bp) * scale
-            si, sj = 6 * p.i, 6 * p.j
-            H[si:si + 6, si:si + 6] += Hp[:6, :6]
-            H[si:si + 6, sj:sj + 6] += Hp[:6, 6:]
-            H[sj:sj + 6, si:si + 6] += Hp[6:, :6]
-            H[sj:sj + 6, sj:sj + 6] += Hp[6:, 6:]
-            b[si:si + 6] += bp[:6]
-            b[sj:sj + 6] += bp[6:]
-        # re-apply gauge zeroing for rows the registration pairs touched
-        fmask = np.repeat(np.asarray(fixed_all), 6)
-        H[fmask, :] = 0.0
-        H[:, fmask] = 0.0
-        H[fmask, fmask] = 1.0
-        b[fmask] = 0.0
-        Hd = H + 1e-4 * np.diag(np.maximum(np.diag(H), 1e-8))
-        delta = np.linalg.solve(Hd, -b)
-        poses = pg._apply_delta(poses, jnp.asarray(delta), solver_cfg)
+    # -- batched joint solve: ONE program for all pairs × iterations ----
+    # submap fields: pad the stack to a power-of-two count so recompiles
+    # happen at bucket boundaries only (remote-TPU compile discipline,
+    # utils/hostops); padded slots are never addressed (no pair uses them)
+    R = min(reg_cfg.max_reg_blocks, spec.max_blocks)
+    S_pad = _next_pow2(len(layers))
+    padded_layers = list(layers) + [layers[0]] * (S_pad - len(layers))
+    sdf_flat, w_flat, bi = _stack_fields(padded_layers, R)
+    # pairs: same bucketing; padded pairs carry valid=False → zero terms
+    P_pad = _next_pow2(len(rpairs))
+    pair_i = np.zeros((P_pad,), np.int32)
+    pair_j = np.zeros((P_pad,), np.int32)
+    pair_valid = np.zeros((P_pad,), bool)
+    for k, p in enumerate(rpairs):
+        pair_i[k], pair_j[k], pair_valid[k] = p.i, p.j, True
+    pts = jnp.stack([p.pts_i for p in rpairs]
+                    + [rpairs[0].pts_i] * (P_pad - len(rpairs)))
+    sdfA = jnp.stack([p.sdf_i for p in rpairs]
+                     + [rpairs[0].sdf_i] * (P_pad - len(rpairs)))
+    maskA = jnp.stack([p.mask_i for p in rpairs]
+                      + [jnp.zeros_like(rpairs[0].mask_i)]
+                      * (P_pad - len(rpairs)))
 
-    res2_cost = float(pg._total_cost(poses, constraints, solver_cfg))
-    info["phase2_relpose_cost"] = res2_cost
+    poses, cost_trace, final_cost = _phase2_solve(
+        spec, poses, constraints, solver_cfg, reg_iterations, fixed_all,
+        sdf_flat, w_flat, bi,
+        jnp.asarray(pair_i), jnp.asarray(pair_j), jnp.asarray(pair_valid),
+        pts, sdfA, maskA,
+        jnp.asarray(registration_weight ** 2, jnp.float32),
+        jnp.asarray(reg_cfg.huber_delta, jnp.float32),
+        heights=heights)
+
+    info["phase2_relpose_cost"] = float(
+        pg._total_cost(poses, constraints, solver_cfg, heights))
+    # combined (relpose + weighted registration) LM cost per iteration +
+    # final — accept/reject makes this monotonically non-increasing
+    info["phase2_cost_trace"] = [float(c) for c in np.asarray(cost_trace)
+                                 ] + [float(final_cost)]
     return poses, info

@@ -89,6 +89,7 @@ def save_server(dirpath: str, server) -> None:
     with open(os.path.join(dirpath, "meta.json"), "w") as f:
         json.dump(meta, f)
     save_pytree(os.path.join(dirpath, "constraints.npz"), server.constraints)
+    save_pytree(os.path.join(dirpath, "heights.npz"), server.heights)
     np.savez(
         os.path.join(dirpath, "frames.npz"),
         **{f"T_G_cli_{c}": np.asarray(server.T_G_cli[c])
@@ -116,6 +117,10 @@ def load_server(dirpath: str, server) -> None:
     server.constraints = load_pytree(
         os.path.join(dirpath, "constraints.npz"), server.constraints)
     server.constraints = jax.tree.map(jnp.asarray, server.constraints)
+    hpath = os.path.join(dirpath, "heights.npz")
+    if os.path.exists(hpath):   # absent in pre-height checkpoints
+        server.heights = jax.tree.map(
+            jnp.asarray, load_pytree(hpath, server.heights))
     frames = np.load(os.path.join(dirpath, "frames.npz"))
     for c in meta["T_G_cli_ids"]:
         server.T_G_cli[int(c)] = jnp.asarray(frames[f"T_G_cli_{c}"])
