@@ -1,0 +1,105 @@
+"""Multi-host (DCN) tier — the second half of the two-tier fabric
+(SURVEY.md §5.8): intra-slice ICI collectives live in `fleet.py` /
+`esdf_sharded.py` / `merge_sharded.py`; this module brings up
+`jax.distributed` so those SAME programs span processes/hosts, with the
+H/b psum reductions riding DCN between hosts and ICI within them.
+
+The reference is inherently multi-machine (ROS TCPROS everywhere); here
+a host is one JAX process contributing its local devices to one global
+mesh, and the bus (comm/bus.py, TCP) keeps playing the topics/services
+role for host-level submap hand-off.
+
+Bring-up (per process):
+
+    from coxgraph_tpu.parallel import multihost
+    multihost.initialize("10.0.0.1:9911", num_processes=2, process_id=k)
+    mesh = multihost.global_robot_mesh()
+    fleet = multihost.make_global_fleet(cfg, n_robots, mesh, local_init)
+    fleet, poses = fleet.fleet_optimize(...)   # psum crosses DCN
+
+Tested without real hosts by two CPU processes on localhost
+(tests/test_multihost.py) — the same shape the reference uses for
+"multi-node without a real cluster" (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize(coordinator_address: str, num_processes: int,
+               process_id: int,
+               local_cpu_devices: Optional[int] = None) -> None:
+    """jax.distributed bring-up for one process of a multi-host
+    deployment. ``local_cpu_devices`` forces the CPU backend with that
+    many virtual devices (test/bring-up path; real TPU hosts leave it
+    None and contribute their chips). Must run before any other JAX
+    call in the process."""
+    if local_cpu_devices is not None:
+        flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+                 if not f.startswith("--xla_force_host_platform"
+                                     "_device_count")]
+        flags.append(f"--xla_force_host_platform_device_count="
+                     f"{local_cpu_devices}")
+        os.environ["XLA_FLAGS"] = " ".join(flags)
+        jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def global_robot_mesh(n_robots: Optional[int] = None) -> Mesh:
+    """1-D ('robot',) mesh over the GLOBAL device set (all hosts).
+    jax.devices() enumerates every process's devices after
+    jax.distributed.initialize — collectives over the mesh cross DCN at
+    host boundaries automatically."""
+    devs = jax.devices()
+    n = n_robots or len(devs)
+    assert n <= len(devs), f"{n} robots > {len(devs)} global devices"
+    return Mesh(np.array(devs[:n]), ("robot",))
+
+
+def make_global_array(shape, mesh: Mesh, spec: P,
+                      fill: Callable[[tuple], np.ndarray], dtype=None):
+    """Build a GLOBAL array on a multi-host mesh: every process calls
+    this with the same (shape, spec, fill); ``fill(index)`` returns the
+    numpy data for one addressable shard (index = the global slice
+    tuple). Single-process meshes work too (plain device_put path)."""
+    sharding = NamedSharding(mesh, spec)
+
+    def cb(index):
+        out = np.asarray(fill(index))
+        return out if dtype is None else out.astype(dtype)
+
+    return jax.make_array_from_callback(tuple(shape), sharding, cb)
+
+
+def make_global_pytree(template, mesh: Mesh, leading_spec: P):
+    """Shard a pytree's leaves along their leading axis over the mesh.
+    Every process passes an IDENTICAL host tree (computed from a shared
+    seed); each contributes the slices its devices own."""
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    out = []
+    for leaf in leaves:
+        arr = np.asarray(leaf)
+        out.append(make_global_array(
+            arr.shape, mesh, leading_spec,
+            lambda idx, a=arr: a[idx], dtype=arr.dtype))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def replicate(x, mesh: Mesh):
+    """Fully-replicated global placement of a host-identical pytree
+    (every process must hold the same values — e.g. inter-robot
+    constraints computed from shared data)."""
+    return jax.tree.map(
+        lambda a: make_global_array(
+            np.asarray(a).shape, mesh, P(),
+            lambda idx, arr=np.asarray(a): arr[idx],
+            dtype=np.asarray(a).dtype),
+        x)
