@@ -190,3 +190,34 @@ def unpack_map_transform(buf: bytes):
     stamp, sid = _MAP_TF.unpack_from(buf, 0)
     pose = np.frombuffer(buf, np.float32, 7, _MAP_TF.size).copy()
     return stamp, sid, pose
+
+
+def pack_tf_set(stamp: float, frames: dict) -> bytes:
+    """One stamped TF-tree snapshot {(parent, child): pose7} — the wire
+    body of the timer-driven TF broadcast (the reference's tf2 tree fed
+    by TfPublisher at 100 Hz, tf_publisher.h:38-40,
+    global_tf_controller.h:122)."""
+    parts = [struct.pack("<dI", stamp, len(frames))]
+    for (parent, child), pose in frames.items():
+        p = parent.encode()
+        c = child.encode()
+        parts.append(struct.pack("<HH", len(p), len(c)) + p + c
+                     + np.asarray(pose, np.float32).tobytes())
+    return b"".join(parts)
+
+
+def unpack_tf_set(buf: bytes):
+    """→ (stamp, {(parent, child): pose7 np.float32})."""
+    stamp, n = struct.unpack_from("<dI", buf, 0)
+    off = 12
+    out = {}
+    for _ in range(n):
+        lp, lc = struct.unpack_from("<HH", buf, off)
+        off += 4
+        parent = buf[off:off + lp].decode()
+        off += lp
+        child = buf[off:off + lc].decode()
+        off += lc
+        out[(parent, child)] = np.frombuffer(buf, np.float32, 7, off).copy()
+        off += 28
+    return stamp, out
