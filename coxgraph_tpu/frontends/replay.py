@@ -82,6 +82,13 @@ class TumRgbdReplay:
     intr: syn.PinholeIntrinsics = syn.PinholeIntrinsics()
     depth_factor: float = 5000.0
     max_frames: Optional[int] = None
+    # Rebase timestamps to start near 0 (t0 = first served frame's stamp,
+    # exposed on self after iteration starts). TUM stamps are unix epoch
+    # (~1.3e9 s); the mapper keeps stamps in f32 device arrays where
+    # epoch-scale values quantize to ~128 s — rebasing preserves the
+    # sub-ms deltas that matter. Associate ground truth with the same t0.
+    rebase_time: bool = True
+    t0: float = 0.0
 
     def _read_list(self, name):
         rows = []
@@ -105,6 +112,8 @@ class TumRgbdReplay:
         gt_t = np.array([t for t, _ in gt])
         gt_p = np.array([[float(x) for x in v] for _, v in gt])  # tx..qw
         dep_t = np.array([t for t, _ in dep])
+        if self.rebase_time and rgb:
+            self.t0 = rgb[0][0]
         n = 0
         for t, (rgb_path,) in rgb:
             if self.max_frames is not None and n >= self.max_frames:
@@ -122,7 +131,7 @@ class TumRgbdReplay:
             color = np.asarray(
                 Image.open(os.path.join(self.root, rgb_path)),
                 np.float32)[..., :3] / 255.0
-            yield Frame(t=t, depth=jnp.asarray(depth),
+            yield Frame(t=t - self.t0, depth=jnp.asarray(depth),
                         color=jnp.asarray(color), T_world_cam=T,
                         T_odom_cam=T)
             n += 1

@@ -1,0 +1,75 @@
+"""Generate the committed tiny TUM-RGBD fixture (tests/fixtures/tum_tiny)
+from the analytic synthetic scene — a real on-disk dataset in the exact
+TUM format (16-bit depth PNGs at factor 5000, 8-bit RGB PNGs,
+rgb.txt/depth.txt/groundtruth.txt with per-sensor timestamp jitter, the
+shape real TUM sequences have). Run once to (re)build the fixture:
+
+    python tests/make_tum_fixture.py
+
+The scene is analytic, so tests can verify the decoded pipeline against
+exact geometry (depth-scale bugs, timestamp association bugs and axis
+bugs all surface as mesh/ATE errors)."""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_FRAMES = 10
+SCALE = 0.125          # 80x60
+T0 = 1305031102.175    # TUM-style epoch timestamps
+DT = 0.1
+
+
+def main():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from coxgraph_tpu.frontends import synthetic as syn
+
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fixtures", "tum_tiny")
+    for sub in ("rgb", "depth"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+
+    scene = syn.default_scene()
+    intr = syn.PinholeIntrinsics().scaled(SCALE)
+    traj = syn.orbit_trajectory(N_FRAMES, scene.room_center, radius=2.4,
+                                sweep=0.5 * jnp.pi)
+
+    rgb_lines = ["# color images", "# timestamp filename"]
+    dep_lines = ["# depth images", "# timestamp filename"]
+    gt_lines = ["# ground truth trajectory",
+                "# timestamp tx ty tz qx qy qz qw"]
+    for i in range(N_FRAMES):
+        t_rgb = T0 + i * DT
+        t_dep = t_rgb + 0.011          # depth sensor offset (real-TUM shape)
+        d, c = syn.render_depth(scene, intr, traj[i])
+        d16 = np.clip(np.asarray(d) * 5000.0, 0, 65535).astype(np.uint16)
+        c8 = np.clip(np.asarray(c) * 255.0, 0, 255).astype(np.uint8)
+        rgb_name = f"rgb/{t_rgb:.6f}.png"
+        dep_name = f"depth/{t_dep:.6f}.png"
+        Image.fromarray(c8).save(os.path.join(root, rgb_name))
+        Image.fromarray(d16).save(os.path.join(root, dep_name))
+        rgb_lines.append(f"{t_rgb:.6f} {rgb_name}")
+        dep_lines.append(f"{t_dep:.6f} {dep_name}")
+        # ground truth at 10 ms offsets around the frame (TUM gt is 100 Hz)
+        qw, qx, qy, qz, x, y, z = np.asarray(traj[i])
+        for off in (-0.005, 0.004):
+            gt_lines.append(
+                f"{t_rgb + off:.6f} {x:.6f} {y:.6f} {z:.6f} "
+                f"{qx:.6f} {qy:.6f} {qz:.6f} {qw:.6f}")
+
+    for name, lines in (("rgb.txt", rgb_lines), ("depth.txt", dep_lines),
+                        ("groundtruth.txt", gt_lines)):
+        with open(os.path.join(root, name), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    print(f"fixture written to {root}")
+
+
+if __name__ == "__main__":
+    main()
