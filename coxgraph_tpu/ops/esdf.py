@@ -38,10 +38,16 @@ class EsdfConfig:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class EsdfLayer:
-    """Block-sparse ESDF sharing the parent TSDF's block table."""
+    """Block-sparse ESDF sharing the parent TSDF's block table.
 
-    dist: Array          # (B, v, v, v) signed distance
-    observed: Array      # (B, v, v, v) bool
+    Pools are FLAT rows like every other pool in the repo (core/voxel.py
+    layout rule): a canonical (B, v, v, v) carry tiles its (v, v) minors
+    — at v=16 the 16-lane minor pads to 128 (8x HBM) and every consumer
+    boundary becomes a relayout copy. The sweep kernel reshapes to a
+    spatial view internally, once, at control rate."""
+
+    dist: Array          # (B, v³) signed distance, flat C-order rows
+    observed: Array      # (B, v³) bool
     block_index: Array   # (G,G,G) int32 — same mapping as the TSDF layer
     block_coords: Array  # (B,3)
     num_blocks: Array    # ()
@@ -120,8 +126,8 @@ def esdf_from_tsdf(spec: vx.VoxelGridSpec, tsdf: vx.TsdfLayer,
     dist = jnp.clip(dist, -md, md)
 
     return EsdfLayer(
-        dist=dist,
-        observed=observed,
+        dist=dist.reshape(B, -1),           # back to flat pool rows
+        observed=observed.reshape(B, -1),
         block_index=tsdf.block_index,
         block_coords=tsdf.block_coords,
         num_blocks=tsdf.num_blocks,
@@ -133,8 +139,8 @@ def sample_esdf(spec: vx.VoxelGridSpec, esdf: EsdfLayer,
     """Trilinear ESDF lookup at world points (...,3) → (dist, valid)."""
     B = esdf.dist.shape[0]
     tmp = vx.TsdfLayer(
-        sdf=esdf.dist.reshape(B, -1),     # flat rows, like the TSDF pool
-        weight=esdf.observed.astype(esdf.dist.dtype).reshape(B, -1),
+        sdf=esdf.dist,                    # already flat pool rows
+        weight=esdf.observed.astype(esdf.dist.dtype),
         color=jnp.zeros((B, 0)),
         block_index=esdf.block_index, block_coords=esdf.block_coords,
         num_blocks=esdf.num_blocks)
@@ -150,7 +156,7 @@ def traversable_points(spec: vx.VoxelGridSpec, esdf: EsdfLayer,
     traversability pointcloud (createFreePointcloudFromEsdfLayer,
     map_server.cpp:109-117)."""
     centers = vx.voxel_centers_of_block(spec, esdf.block_coords)
-    free = esdf.observed & (esdf.dist > robot_radius)
+    free = esdf.observed & (esdf.dist > robot_radius)      # (B, v³)
     live = (jnp.arange(esdf.dist.shape[0]) < esdf.num_blocks)
-    free = free & live[:, None, None, None]
+    free = free & live[:, None]
     return centers.reshape(-1, 3), free.reshape(-1)

@@ -282,8 +282,8 @@ def gather_to_layer(spec: vx.VoxelGridSpec, tsdf: vx.TsdfLayer,
             if k is not None:
                 out[k] = d[dev, s]
     return esdf_ops.EsdfLayer(
-        dist=jnp.asarray(out),
-        observed=(tsdf.weight > 1e-6).reshape(tsdf.max_blocks, v, v, v),
+        dist=jnp.asarray(out.reshape(tsdf.max_blocks, -1)),  # flat rows
+        observed=(tsdf.weight > 1e-6),
         block_index=tsdf.block_index,
         block_coords=tsdf.block_coords,
         num_blocks=tsdf.num_blocks,

@@ -28,7 +28,7 @@ def sphere_tsdf(center, radius, nblk=2):
                           SPEC.max_blocks, -1),
                       layer.sdf),
         weight=jnp.where(live2, jnp.ones_like(layer.weight), 0.0),
-    ), true
+    ), true.reshape(SPEC.max_blocks, -1)     # flat rows, like the pools
 
 
 def test_esdf_extends_beyond_truncation():
