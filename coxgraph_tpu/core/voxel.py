@@ -211,7 +211,16 @@ def allocate_and_slots(spec: VoxelGridSpec, flat_index: Array,
     allocation caps at max_touched NEW cells among the K smallest touched
     — overflow cells stay unallocated and are picked up by later frames,
     as before.
-    Returns (flat_index, block_coords, num_blocks, slots (K,), mask (K,))."""
+    Returns (flat_index, block_coords, num_blocks, slots (K,), mask (K,)).
+
+    POSTCONDITION (load-bearing): the returned ``slots`` are UNIQUE at
+    every mask-True lane — each comes from a distinct grid cell (first
+    occurrences of the sorted candidate ids), and a cell maps to exactly
+    one pool slot. Downstream pool scatters rely on this to pass
+    ``unique_indices=True`` (XLA skips the sort-based duplicate-combine
+    lowering); violating it is silent pool corruption. Guarded by a
+    debug check in the consumers under jax.debug_nans-style opt-in:
+    see ops.tsdf.integrate_frame_stacked_impl."""
     g3 = spec.grid_dim ** 3
     K = max_touched
 

@@ -95,7 +95,8 @@ def build_atlases(intr: PinholeIntrinsics, depth: Array,
         chans = jnp.stack([depth, jnp.zeros_like(depth),
                            jnp.zeros_like(depth), jnp.zeros_like(depth)])
     else:
-        if color.shape[0] != 3 or color.shape[-1] == 3:   # interleaved
+        from .tsdf import color_layout
+        if color_layout(color, intr.height, intr.width) == "interleaved":
             color = jnp.moveaxis(color, -1, 0)
         c8 = jnp.clip(jnp.round(color * 255.0), 0, 255).astype(jnp.float32)
         chans = jnp.concatenate([depth[None], c8])

@@ -28,11 +28,15 @@ masked.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+# opt-in runtime invariant checks (see integrate_frame_stacked_impl)
+_DEBUG_UNIQUE_SLOTS = bool(os.environ.get("COXGRAPH_DEBUG_CHECKS"))
 
 from ..core import geometry as geo
 from ..core import voxel as vx
@@ -92,6 +96,21 @@ def decimate(img: Array, st: int) -> Array:
     s = img.shape[:-2]
     img = img.reshape(s + ((H + ph) // st, st, (W + pw) // st, st))
     return img[..., :, 0, :, 0]
+
+
+def color_layout(color: Array, height: int, width: int) -> str:
+    """Classify a color image layout against the KNOWN intrinsics:
+    'planar' for (3, H, W), 'interleaved' for (H, W, 3). The single
+    layout-decision boundary — callers must not sniff shapes themselves
+    (a (3, H, 3) planar image with W == 3 is undecidable from the shape
+    alone; the intrinsics disambiguate)."""
+    if color.shape == (3, height, width):
+        return "planar"
+    if color.shape == (height, width, 3):
+        return "interleaved"
+    raise ValueError(
+        f"color shape {color.shape} matches neither planar (3, {height}, "
+        f"{width}) nor interleaved ({height}, {width}, 3)")
 
 
 def _alloc_candidates_soa(spec: vx.VoxelGridSpec, cfg: TsdfIntegratorConfig,
@@ -207,6 +226,18 @@ def integrate_frame_stacked_impl(spec: vx.VoxelGridSpec,
     )
     slots = jnp.minimum(slots, mb - 1)  # safe gather addresses (masked)
 
+    if _DEBUG_UNIQUE_SLOTS:
+        # opt-in guard (COXGRAPH_DEBUG_CHECKS=1) for the allocate_and_slots
+        # uniqueness postcondition the pool scatters' unique_indices hint
+        # depends on (duplicates under the hint = silent pool corruption)
+        def _assert_unique(s, m):
+            import numpy as _np
+            live = _np.asarray(s)[_np.asarray(m)]
+            if len(_np.unique(live)) != len(live):
+                raise AssertionError(
+                    "allocate_and_slots returned duplicate mask-True slots")
+        jax.debug.callback(_assert_unique, slots, slot_mask)
+
     # ---- pass 2: voxel update ---------------------------------------------
     T_cam_sm = geo.inverse(T_sm_cam)
     use_pallas = cfg.use_pallas
@@ -283,11 +314,11 @@ def _update_xla(spec, cfg, intr, layers, base, bc_k, slots, slot_mask,
     v = spec.voxels_per_side
     K = slots.shape[0]
     depth_flat = depth.reshape(-1)
-    # color may arrive interleaved (H,W,3) or planar (3,H,W) — see
-    # build_atlases; flatten to (N,3) either way
+    # color may arrive interleaved (H,W,3) or planar (3,H,W); the layout
+    # decision lives in color_layout (intrinsics-driven, no shape sniff)
     if color is None:
         color_flat = None
-    elif color.shape[0] == 3 and color.shape[-1] != 3:
+    elif color_layout(color, intr.height, intr.width) == "planar":
         color_flat = color.reshape(3, -1).T
     else:
         color_flat = color.reshape(-1, 3)

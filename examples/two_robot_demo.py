@@ -161,7 +161,9 @@ def main():
     total_mb = sum(c.bytes_sent for c in clients) / 1e6
     print(f"submap bytes shipped: {total_mb:.1f} MB "
           f"({len(server.submaps)} submaps, send-once)")
-    ok = (max(ates) < 0.25 and verts.shape[0] > 1000
+    # gate sized to the measured operating point (~6.5-6.7 cm ATE on both
+    # TPU and CPU runs), not a loose ceiling: a 2x regression fails
+    ok = (max(ates) < 0.13 and verts.shape[0] > 1000
           and np.quantile(sdf, 0.9) < 4 * spec.voxel_size)
     print("DEMO", "PASS" if ok else "FAIL")
     return 0 if ok else 1
