@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import threading
+import time
 from typing import Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
@@ -583,12 +584,14 @@ class CoxgraphServer:
                           if s.client_id == ref_cid)
             fixed = np.zeros((poses.shape[0],), bool)
             fixed[anchor] = True
+        t_solve = time.monotonic()
         new_poses, info = global_opt.optimize_two_phase(
             poses, constraints, self.cfg.spec, layers,
             reg_cfg=self.cfg.registration, solver_cfg=self.cfg.solver,
             registration_weight=self.cfg.registration_weight,
             skip_pairs=skip, reg_caches=caches, fixed=jnp.asarray(fixed),
             heights=heights)
+        info["solve_wall"] = time.monotonic() - t_solve
         with self._state_lock:
             for s, c in zip(self.submaps, caches):
                 s.reg_cache = c
@@ -755,6 +758,14 @@ class CoxgraphServer:
                             src_spec=src_spec)
                     verts, cols = mesh_ops.extract_mesh(
                         spec, merged, min_weight=min_weight)
+                if int(merged.num_blocks) >= spec.max_blocks:
+                    import warnings
+                    warnings.warn(
+                        "global-merge block pool saturated "
+                        f"({spec.max_blocks} blocks): the mesh may be "
+                        "truncated (surface blocks can lose allocation to "
+                        "far-field ones) — raise spec.max_blocks or pass a "
+                        "coarser mesh_spec", RuntimeWarning, stacklevel=2)
             finally:
                 if snap is not None:
                     self._restore_graph(snap)
