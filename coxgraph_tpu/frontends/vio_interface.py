@@ -70,9 +70,13 @@ class VIOInterface:
                     color: Optional[Array] = None) -> None:
         self.T_odom_latest = T_odom_cam
         if self.mapping_enabled and depth is not None:
-            self._mapper.state = self.client.state  # pick up server updates
-            self._mapper.step(depth, color, T_odom_cam, t)
-            self.client.state = self._mapper.state
+            # hold the client's pause lock across the read-modify-write:
+            # with async PGO the server's solve thread pushes pose updates
+            # concurrently (submap_proc_mutex_ parity, coxgraph_client.h:126)
+            with self.client.lock:
+                self._mapper.state = self.client.state  # pick up server
+                self._mapper.step(depth, color, T_odom_cam, t)
+                self.client.state = self._mapper.state
             if self.server is not None:
                 self.server.time_line_update()
 
