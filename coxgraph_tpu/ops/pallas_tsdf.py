@@ -109,8 +109,16 @@ def build_atlases(intr: PinholeIntrinsics, depth: Array,
         atlas4 = jax.lax.dynamic_update_slice(atlas4, lvl, (0, offs[l], 0))
         lvl = decimate(lvl, 2)   # cascade: each level from the previous
 
-    d_hi = atlas4[0].astype(jnp.bfloat16)
-    d_lo = (atlas4[0] - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # the hi/lo split MUST round through lax.reduce_precision: XLA's
+    # excess-precision pass (on by default on TPU) elides f32→bf16→f32
+    # convert pairs, so the naive `d - f32(bf16(d))` folds to zero ON CHIP
+    # — the lo plane silently vanished and depth carried half-ulp(bf16)
+    # error (~8 mm at 4 m; caught by tests/test_tpu_onchip.py, invisible
+    # in interpret mode where CPU keeps the rounding)
+    hi_f32 = jax.lax.reduce_precision(atlas4[0], exponent_bits=8,
+                                      mantissa_bits=7)
+    d_hi = hi_f32.astype(jnp.bfloat16)   # exact: hi_f32 is bf16-valued
+    d_lo = (atlas4[0] - hi_f32).astype(jnp.bfloat16)
     return jnp.concatenate([d_hi[None], d_lo[None],
                             atlas4[1:].astype(jnp.bfloat16)])
 
