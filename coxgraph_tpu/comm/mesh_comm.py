@@ -316,15 +316,44 @@ def render_points(intr: PinholeIntrinsics, pts_cam: np.ndarray,
 
 def recover_layer(spec: vx.VoxelGridSpec, cfg: tsdf_ops.TsdfIntegratorConfig,
                   intr: PinholeIntrinsics, msg: MeshWithHistory,
-                  interpolate_voxel_size: Optional[float] = None
-                  ) -> vx.TsdfLayer:
-    """Rebuild a TSDF layer from a MeshWithHistory: per keyframe, splat its
-    pointcloud into a virtual RGB-D frame and run the projective
-    integrator (TsdfRecover::processMesh, tsdf_recover.h:59-99)."""
+                  interpolate_voxel_size: Optional[float] = None,
+                  method: str = "projective") -> vx.TsdfLayer:
+    """Rebuild a TSDF layer from a MeshWithHistory (TsdfRecover::processMesh,
+    tsdf_recover.h:59-99). ``method`` selects the re-integration path the
+    reference configures per node (tsdf_recover.yaml:5):
+
+    - "projective": per keyframe, z-buffer-splat the pointcloud into a
+      virtual RGB-D frame and run the projective frame integrator;
+    - "merged": feed each keyframe cloud straight to the bundling
+      pointcloud integrator (ops/points.py) — no virtual frame, no
+      pinhole assumption on the receiver.
+    """
     space = (interpolate_voxel_size if interpolate_voxel_size is not None
              else spec.voxel_size)
     clouds = decode_to_pointclouds(msg, interpolate_voxel_size=space)
     layer = vx.create_tsdf_layer(spec)
+    if method == "merged":
+        from ..ops import points as pts_ops
+        pcfg = pts_ops.PointIntegratorConfig(
+            max_range=cfg.max_range, min_range=cfg.min_range,
+            max_weight=cfg.max_weight,
+            max_touched_blocks=cfg.max_touched_blocks,
+            use_distance_weight=cfg.use_distance_weight,
+            use_dropoff=cfg.use_dropoff)
+        for k in sorted(clouds):
+            pts_cam, cols = clouds[k]
+            n = pts_cam.shape[0]
+            cap = max(1 << (max(n, 1) - 1).bit_length(), 256)
+            p = np.zeros((cap, 3), np.float32)
+            c = np.zeros((cap, 3), np.float32)
+            m = np.zeros((cap,), bool)
+            p[:n], c[:n], m[:n] = pts_cam, cols, True
+            layer = pts_ops.integrate_points(
+                spec, pcfg, layer, jnp.asarray(p), jnp.asarray(c),
+                jnp.asarray(m), jnp.asarray(msg.kf_poses[k]))
+        return layer
+    if method != "projective":
+        raise ValueError(f"unknown recover method {method!r}")
     for k in sorted(clouds):
         pts_cam, cols = clouds[k]
         depth, color = render_points(intr, pts_cam, cols)

@@ -3,6 +3,7 @@ TsdfRecover parity (SURVEY.md §2.4)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from coxgraph_tpu.comm import mesh_comm, wire
 from coxgraph_tpu.core import voxel as vx
@@ -73,13 +74,16 @@ def test_decode_buckets_and_interpolates():
     assert total_front / n_pts > 0.75
 
 
-def test_recover_layer_matches_surface():
+@pytest.mark.parametrize("method", ["projective", "merged"])
+def test_recover_layer_matches_surface(method):
+    """Both re-integration methods the reference configures per node
+    (tsdf_recover.yaml:5) rebuild a TSDF whose zero crossing lies on the
+    true scene surface."""
     scene, layer, stamps, poses = build_submap(6)
     msg = mesh_comm.encode_submap_mesh(SPEC, layer, stamps, poses, INTR,
                                        keyframe_stride=2)
-    rec = mesh_comm.recover_layer(SPEC, CFG, INTR, msg)
+    rec = mesh_comm.recover_layer(SPEC, CFG, INTR, msg, method=method)
     assert int(rec.num_blocks) > 10
-    # the recovered TSDF's zero crossing must lie on the true scene surface
     verts, _ = mesh_ops.extract_mesh(SPEC, rec, min_weight=1e-4)
     assert verts.shape[0] > 100
     sdf = np.asarray(syn.scene_sdf(scene, jnp.asarray(verts.reshape(-1, 3))))
