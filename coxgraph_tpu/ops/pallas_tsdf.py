@@ -22,8 +22,9 @@ converts the gather into MXU matmuls with everything laid out LANE-MAJOR:
     iota against the lane-vector of voxel pixel-columns (no transpose or
     1-D↔2-D relayout, which Mosaic cannot lower), and all 5 planes
     [depth_hi, depth_lo, r, g, b] ride ONE MXU matmul
-    (5·TILE_H, TILE_W) @ (TILE_W, v3), followed by a shared row-select
-    against the (TILE_H, v3) transposed row-one-hot.
+    (5·tile_h, TILE_W) @ (TILE_W, v3), followed by a shared row-select
+    against the (tile_h, v3) transposed row-one-hot (tile_h from
+    TsdfIntegratorConfig: 48 rows ⇒ 240-row matmul = 2 systolic passes).
 
 Depth splits hi/lo into bf16 so the MXU runs at bf16 rate with ~f32
 results (hi + lo ≈ 0.1 mm at 10 m); color channels are single bf16
@@ -53,7 +54,8 @@ from ..frontends.synthetic import PinholeIntrinsics
 
 Array = jax.Array
 
-TILE_H = 64        # tile rows (window aligned to 8 sublanes)
+TILE_H = 64        # default tile rows — overridden per run by
+#                    TsdfIntegratorConfig.tile_h (multiple of 8)
 TILE_W = 128       # tile lanes (window aligned to 128 lanes)
 LEVELS = 5         # stride pyramid 1,2,4,8,16
 GROUP = 8          # blocks per grid step (TPU block-dim-0 granularity)
@@ -88,39 +90,57 @@ def build_atlases(intr: PinholeIntrinsics, depth: Array,
     offs, ws, hs, rows = _pyramid_layout(intr)
     aw = max(intr.width, TILE_W)
 
-    # one 4-channel cascade [depth, r, g, b] written into a preallocated
-    # atlas via static dynamic_update_slice (5 separate per-plane
-    # pad+concat pyramids cost ~6 ms/frame on chip; this is <1 ms)
+    # one 5-plane bf16 cascade [d_hi, d_lo, r, g, b] written into the
+    # preallocated atlas via static dynamic_update_slice. The split and
+    # the 0..255 quantization happen BEFORE the pyramid: stride
+    # decimation is pure pixel selection, so plane-of-decimated ==
+    # decimated-plane exactly, and running the cascade in bf16 halves
+    # its HBM traffic (the f32 4-channel variant spent ~0.5 ms/frame in
+    # layout-conversion copies around the cascade — op-profile measured;
+    # 5 separate per-plane pad+concat pyramids were worse still,
+    # ~6 ms/frame).
+    #
+    # The hi/lo split MUST round through lax.reduce_precision: XLA's
+    # excess-precision pass (on by default on TPU) elides f32→bf16→f32
+    # convert pairs, so the naive `d - f32(bf16(d))` folds to zero ON
+    # CHIP — the lo plane silently vanished and depth carried half-ulp
+    # bf16 error (~8 mm at 4 m; caught by tests/test_tpu_onchip.py,
+    # invisible in interpret mode where CPU keeps the rounding).
+    hi_f32 = jax.lax.reduce_precision(depth, exponent_bits=8,
+                                      mantissa_bits=7)
     if color is None:
-        chans = jnp.stack([depth, jnp.zeros_like(depth),
-                           jnp.zeros_like(depth), jnp.zeros_like(depth)])
+        z = jnp.zeros_like(depth)
+        c8 = (z, z, z)
     else:
         from .tsdf import color_layout
         if color_layout(color, intr.height, intr.width) == "interleaved":
             color = jnp.moveaxis(color, -1, 0)
-        c8 = jnp.clip(jnp.round(color * 255.0), 0, 255).astype(jnp.float32)
-        chans = jnp.concatenate([depth[None], c8])
+        c8 = jnp.clip(jnp.round(color * 255.0), 0, 255)
+    chans = jnp.stack(
+        [hi_f32, depth - hi_f32, c8[0], c8[1], c8[2]]).astype(jnp.bfloat16)
 
-    from .tsdf import decimate
+    # stride-2 decimation as one-hot selection MATMULS (row selector ·
+    # plane · column selector): exact top-left pixel selection entirely
+    # on the MXU. The reshape-and-slice decimate that works for f32
+    # relayouts bf16 (16,128)-tiled planes — op-profile showed it at
+    # ~0.45 ms/frame, 5x the whole f32 cascade; the dots are ~10 µs.
+    import numpy as np
 
-    atlas4 = jnp.zeros((4, rows, aw), jnp.float32)
+    def sel(n_out: int, n_in: int) -> Array:
+        m = np.zeros((n_out, n_in), np.float32)
+        m[np.arange(n_out), np.arange(n_out) * 2] = 1.0
+        return jnp.asarray(m, jnp.bfloat16)
+
+    atlas = jnp.zeros((PLANES, rows, aw), jnp.bfloat16)
     lvl = chans
     for l in range(LEVELS):
-        atlas4 = jax.lax.dynamic_update_slice(atlas4, lvl, (0, offs[l], 0))
-        lvl = decimate(lvl, 2)   # cascade: each level from the previous
-
-    # the hi/lo split MUST round through lax.reduce_precision: XLA's
-    # excess-precision pass (on by default on TPU) elides f32→bf16→f32
-    # convert pairs, so the naive `d - f32(bf16(d))` folds to zero ON CHIP
-    # — the lo plane silently vanished and depth carried half-ulp(bf16)
-    # error (~8 mm at 4 m; caught by tests/test_tpu_onchip.py, invisible
-    # in interpret mode where CPU keeps the rounding)
-    hi_f32 = jax.lax.reduce_precision(atlas4[0], exponent_bits=8,
-                                      mantissa_bits=7)
-    d_hi = hi_f32.astype(jnp.bfloat16)   # exact: hi_f32 is bf16-valued
-    d_lo = (atlas4[0] - hi_f32).astype(jnp.bfloat16)
-    return jnp.concatenate([d_hi[None], d_lo[None],
-                            atlas4[1:].astype(jnp.bfloat16)])
+        atlas = jax.lax.dynamic_update_slice(atlas, lvl, (0, offs[l], 0))
+        if l + 1 < LEVELS:
+            R = sel(hs[l + 1], hs[l])           # (h_out, h_in)
+            C = sel(ws[l + 1], ws[l]).T         # (w_in, w_out)
+            lvl = jnp.einsum("rh,phw,wc->prc", R, lvl, C,
+                             preferred_element_type=jnp.bfloat16)
+    return atlas
 
 
 def _kernel(spec: vx.VoxelGridSpec, cfg, intr: PinholeIntrinsics,
@@ -175,7 +195,8 @@ def _kernel(spec: vx.VoxelGridSpec, cfg, intr: PinholeIntrinsics,
 
     # ---- per-block transposed one-hot selects -----------------------------
     sub_w = jax.lax.broadcasted_iota(jnp.int32, (TILE_W, v3), 0)
-    sub_h = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_H, v3), 1)
+    th = getattr(cfg, "tile_h", TILE_H)
+    sub_h = jax.lax.broadcasted_iota(jnp.int32, (1, th, v3), 1)
     rowsel = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0)
 
     def body(j, acc):
@@ -186,7 +207,7 @@ def _kernel(spec: vx.VoxelGridSpec, cfg, intr: PinholeIntrinsics,
         row0 = pl.multiple_of(tiles_ref[j, 1], 8)
         col0 = pl.multiple_of(tiles_ref[j, 3], 128)
         tile = jnp.concatenate(
-            [atlas_ref[p, pl.ds(row0, TILE_H), pl.ds(col0, TILE_W)]
+            [atlas_ref[p, pl.ds(row0, th), pl.ds(col0, TILE_W)]
              for p in range(PLANES)], axis=0)      # (PLANES·Th, Tw) bf16
         # one-hots built directly transposed: sublane iota vs lane vector
         ohuT = (sub_w == lu_j).astype(jnp.bfloat16)          # (Tw, v3)
@@ -194,7 +215,7 @@ def _kernel(spec: vx.VoxelGridSpec, cfg, intr: PinholeIntrinsics,
         cand = jax.lax.dot_general(
             tile, ohuT, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)    # (PLANES·Th, v3)
-        sel5 = jnp.sum(cand.reshape(PLANES, TILE_H, v3) * ohvT, axis=1)
+        sel5 = jnp.sum(cand.reshape(PLANES, th, v3) * ohvT, axis=1)
         hitf = hit.astype(jnp.float32)
         D = D + (sel5[0] + sel5[1])[None, :] * hitf
         CR = CR + sel5[2][None, :] * hitf
@@ -275,7 +296,7 @@ def compute_tile_specs(spec: vx.VoxelGridSpec, cfg,
         u0l = ((umin >> l) >> 7) << 7
         v0l = ((vmin >> l) >> 3) << 3
         fits = (((umax >> l) - u0l) < TILE_W) & (
-            ((vmax >> l) - v0l) < TILE_H)
+            ((vmax >> l) - v0l) < getattr(cfg, "tile_h", TILE_H))
         lvl = jnp.where(fits, l, lvl)
     lvl = jnp.where(degenerate, LEVELS - 1, lvl)
     ro = jnp.asarray(offs, jnp.int32)[lvl]

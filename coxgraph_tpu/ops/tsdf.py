@@ -68,8 +68,14 @@ class TsdfIntegratorConfig:
     use_pallas: Optional[bool] = None  # None = auto (TPU backend only).
     #  The Pallas kernel replaces the per-voxel depth gather with one-hot
     #  MXU contractions on a stride-pyramid tile (ops/pallas_tsdf.py);
-    #  blocks whose pixel bbox exceeds the 64² tile sample depth at
+    #  blocks whose pixel bbox exceeds the tile window sample depth at
     #  stride 2^l — the voxblox "fast" integrator's subsampled-ray trade.
+    tile_h: int = 48  # kernel tile-window rows (multiple of 8). Sets the
+    #  one-hot matmul's row count 5·tile_h: 48 → 240 rows = 2 systolic
+    #  passes (64 → 320 = 3 passes, ~35% more MXU time) and shrinks the
+    #  row-select product-reduce proportionally. Smaller windows push
+    #  blocks whose pixel bbox exceeds tile_h rows one pyramid level
+    #  coarser — the accuracy/throughput dial of the "fast" trade.
 
 
 def _backproject(intr: PinholeIntrinsics, depth: Array) -> Array:
