@@ -103,20 +103,29 @@ class InProcessClient:
     # -- topics the client publishes --------------------------------------
 
     def timeline(self) -> Tuple[float, float]:
-        col = self.state.collection
-        n = int(col.num_submaps)  # () ready buffer — free
-        if n == 0:
-            return (0.0, -1.0)
-        # whole-buffer transfers only: per-index eager reads compile a
-        # fresh program per index on remote TPUs (utils/hostops)
-        return (float(np.asarray(col.start_time)[0]),
-                float(np.asarray(col.end_time)[n - 1]))
+        # under the pause lock: the robot frame loop DONATES the previous
+        # state's buffers into sm.integrate, so an unlocked reader can
+        # bind `state` and then np.asarray a deleted buffer (caught by
+        # the async-PGO stress test: "Array has been deleted")
+        with self.lock:
+            col = self.state.collection
+            n = int(col.num_submaps)  # () ready buffer — free
+            if n == 0:
+                return (0.0, -1.0)
+            # whole-buffer transfers only: per-index eager reads compile
+            # a fresh program per index on remote TPUs (utils/hostops)
+            return (float(np.asarray(col.start_time)[0]),
+                    float(np.asarray(col.end_time)[n - 1]))
 
     def pose_update_deltas(self) -> List[Tuple[int, Array]]:
         """Submap poses changed since the last call — the client's
         map_pose_updates publication after local PGO
         (publishMapPoseUpdates, coxgraph_client.cpp:135-153 publishes only
         submaps whose pose moved)."""
+        with self.lock:
+            return self._pose_update_deltas_locked()
+
+    def _pose_update_deltas_locked(self) -> List[Tuple[int, Array]]:
         col = self.state.collection
         n = int(col.num_submaps)
         if n == 0:
@@ -183,16 +192,18 @@ class InProcessClient:
         """Full odom-frame trajectory (stamps, poses) — the client's
         get_pose_history service (coxgraph_client.cpp:38-45, pulled by
         ClientHandler::requestPoseHistory, client_handler.cpp:149-160)."""
-        return sm.trajectory(self.state.collection)
+        with self.lock:
+            return sm.trajectory(self.state.collection)
 
     def lookup_pose_in_submap(self, k: int, t: float) -> Array:
         """T_submap_cam at time t from the submap's history
         (voxgraph lookupPoseByTime, used at coxgraph_client.cpp:53-57).
         Interpolates on the host (whole-buffer transfers only)."""
-        col = self.state.collection
-        h = int(np.asarray(col.hist_count)[k])
-        stamps = np.asarray(col.hist_stamps)[k, :h]
-        poses = np.asarray(col.hist_poses)[k, :h]
+        with self.lock:
+            col = self.state.collection
+            h = int(np.asarray(col.hist_count)[k])
+            stamps = np.asarray(col.hist_stamps)[k, :h]
+            poses = np.asarray(col.hist_poses)[k, :h]
         return jnp.asarray(geo.lookup_pose_np(stamps, poses, t))
 
     # -- server → client ----------------------------------------------------

@@ -128,6 +128,87 @@ def test_next_fusion_waits_for_previous_solve():
     assert server.optimize_errors == []
 
 
+def test_concurrent_stress_random_interleaving():
+    """Race rigor (SURVEY.md §5.2): two robot frame-loops, a fusion
+    pump, and server-state readers run concurrently with NO test-side
+    gating for a fixed wall budget. Invariants: no thread raises, every
+    accepted fusion lands exactly one fusion_log entry, reader snapshots
+    stay well-formed, and the final (synchronous) solve still converges."""
+    import random
+
+    robots = [make_robot(0), make_robot(1)]
+    clients = [r[0] for r in robots]
+    server = fs.CoxgraphServer(
+        fs.ServerConfig(spec=SPEC, max_submaps=8, refuse_interval=0.0,
+                        async_pgo=True,
+                        solver=pg.SolverConfig(iterations=2)),
+        clients)
+
+    stop = threading.Event()
+    errors = []
+
+    def frame_loop(i):
+        depth, color, T = robots[i][1]
+        c = clients[i]
+        k = 0
+        try:
+            while not stop.is_set():
+                k += 1
+                with c.lock:
+                    c.state = sm.integrate(CFG, c.state, depth, color, T,
+                                           jnp.asarray(0.05 * k))
+        except Exception as e:                      # pragma: no cover
+            errors.append(f"frame_loop{i}: {e!r}")
+
+    accepted = []
+
+    def fusion_pump():
+        rng = random.Random(0)
+        try:
+            while not stop.is_set():
+                ok = server.map_fusion(fs.MapFusionMsg(
+                    from_client=0, from_time=0.0, to_client=1,
+                    to_time=0.0, T_from_to=geo.identity()))
+                if ok:
+                    accepted.append(1)
+                time.sleep(rng.uniform(0.0, 0.05))
+        except Exception as e:                      # pragma: no cover
+            errors.append(f"fusion_pump: {e!r}")
+
+    def reader_loop():
+        rng = random.Random(1)
+        try:
+            while not stop.is_set():
+                q = server.state_query()
+                assert q["n_submaps"] >= 0
+                server.global_frames()
+                time.sleep(rng.uniform(0.0, 0.02))
+        except Exception as e:                      # pragma: no cover
+            errors.append(f"reader: {e!r}")
+
+    threads = [threading.Thread(target=frame_loop, args=(0,)),
+               threading.Thread(target=frame_loop, args=(1,)),
+               threading.Thread(target=fusion_pump),
+               threading.Thread(target=reader_loop)]
+    for t in threads:
+        t.start()
+    time.sleep(6.0)
+    stop.set()
+    for t in threads:
+        t.join(timeout=60)
+        assert not t.is_alive()
+    server.wait_for_optimize()
+
+    assert errors == [], errors
+    assert server.optimize_errors == [], server.optimize_errors
+    # every accepted fusion produced exactly one solve record
+    assert len(server.fusion_log) == len(accepted)
+    assert len(accepted) >= 2
+    # the graph is still solvable after the melee
+    res = server.evaluate_residuals()
+    assert all(np.isfinite(v) for vs in res.values() for v in vs)
+
+
 def test_solve_failure_is_contained():
     clients = [make_robot(0)[0], make_robot(1)[0]]
     server = fs.CoxgraphServer(
