@@ -72,19 +72,18 @@ def hamming_match_topk(da: Array, db: Array, interpret: bool = False):
     out = pl.pallas_call(
         _match_kernel,
         grid=grid,
+        # default (VMEM-blocked) specs: memory_space=ANY only supports
+        # whole-array blocks with trivial index maps on real Mosaic —
+        # the ANY variant lowered in interpret mode but failed to compile
+        # on chip (caught by tests/test_tpu_onchip.py)
         in_specs=[
-            pl.BlockSpec((_A_TILE, 8), lambda i: (i, 0),
-                         memory_space=pl.ANY),
-            pl.BlockSpec(db.shape, lambda i: (0, 0),
-                         memory_space=pl.ANY),
+            pl.BlockSpec((_A_TILE, 8), lambda i: (i, 0)),
+            pl.BlockSpec(db.shape, lambda i: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((_A_TILE,), lambda i: (i,),
-                         memory_space=pl.ANY),
-            pl.BlockSpec((_A_TILE,), lambda i: (i,),
-                         memory_space=pl.ANY),
-            pl.BlockSpec((_A_TILE,), lambda i: (i,),
-                         memory_space=pl.ANY),
+            pl.BlockSpec((_A_TILE,), lambda i: (i,)),
+            pl.BlockSpec((_A_TILE,), lambda i: (i,)),
+            pl.BlockSpec((_A_TILE,), lambda i: (i,)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((ka,), jnp.int32),
