@@ -32,6 +32,7 @@ from ..core import geometry as geo
 from ..core import voxel as vx
 from ..frontends.synthetic import PinholeIntrinsics
 from ..ops import merge as merge_ops
+from ..ops import points as points_ops
 from ..ops import tsdf as tsdf_ops
 from ..solver import pose_graph as pg
 
@@ -51,6 +52,9 @@ class MapperConfig:
     submap_interval: float = 10.0     # s (coxgraph_client.yaml:5)
     max_constraints: int = 256
     odom_sqrt_info: float = 20.0      # odometry constraint confidence
+    # pointcloud-input path ("merged" integrator, ops/points.py) — None
+    # derives a default from the frame integrator's block budget
+    point_integrator: Optional["points_ops.PointIntegratorConfig"] = None
 
 
 @jax.tree_util.register_dataclass
@@ -214,6 +218,55 @@ def integrate_batch(cfg: MapperConfig, state: MapperState, depths: Array,
     return state
 
 
+def _point_cfg(cfg: MapperConfig) -> "points_ops.PointIntegratorConfig":
+    if cfg.point_integrator is not None:
+        return cfg.point_integrator
+    return points_ops.PointIntegratorConfig(
+        max_range=cfg.integrator.max_range,
+        min_range=cfg.integrator.min_range,
+        max_weight=cfg.integrator.max_weight,
+        max_touched_blocks=cfg.integrator.max_touched_blocks,
+        use_distance_weight=cfg.integrator.use_distance_weight,
+        use_dropoff=cfg.integrator.use_dropoff)
+
+
+def integrate_points_impl(cfg: MapperConfig, state: MapperState,
+                          points: Array, colors: Optional[Array],
+                          valid: Array, T_odom_sensor: Array,
+                          t: Array) -> MapperState:
+    """Integrate one unordered pointcloud into the active submap — the
+    reference client's native ``pointcloud``-topic input (voxblox
+    tsdf_server integratePointCloud, SURVEY.md §3.2; 'merged' method,
+    tsdf_recover.yaml:5). Mirror of integrate_impl for cloud sensors
+    (lidar, recovered mesh points): same history append, same stacked
+    flat-pool discipline (ops/points.py)."""
+    col = state.collection
+    k = col.active
+    T_sm_sensor = geo.relative(col.T_odom_submap[k], T_odom_sensor)
+
+    layers = points_ops.integrate_points_stacked_impl(
+        cfg.spec, _point_cfg(cfg), col.layers, k, points, colors, valid,
+        T_sm_sensor)
+
+    h = jnp.minimum(col.hist_count[k], cfg.max_history - 1)
+    col = dataclasses.replace(
+        col,
+        layers=layers,
+        end_time=col.end_time.at[k].set(t, mode="drop"),
+        hist_stamps=col.hist_stamps.at[k, h].set(t, mode="drop"),
+        hist_poses=col.hist_poses.at[k, h].set(T_sm_sensor, mode="drop"),
+        hist_count=col.hist_count.at[k].set(h + 1, mode="drop"),
+    )
+    return dataclasses.replace(
+        state, collection=col, frame_count=state.frame_count + 1
+    )
+
+
+integrate_points = partial(jax.jit, static_argnums=0, donate_argnums=1)(
+    integrate_points_impl)
+integrate_points.__doc__ = "Jitted integrate_points_impl."
+
+
 def mapper_step(cfg: MapperConfig, state: MapperState, depth: Array,
                 color: Optional[Array], T_odom_cam: Array,
                 t: float) -> Tuple[MapperState, bool]:
@@ -274,6 +327,27 @@ class HostMapper:
             started = True
         self.state = integrate(self.cfg, self.state, depth, color,
                                T_odom_cam, jnp.asarray(t, jnp.float32))
+        return started
+
+    def step_points(self, points: Array, colors: Optional[Array],
+                    valid: Array, T_odom_sensor: Array, t: float) -> bool:
+        """Pointcloud-sensor step (lidar / recovered clouds): same
+        rollover logic as step(), integration via ops/points.py. Callers
+        should pad clouds to a fixed capacity (power-of-two buckets) so
+        the jit cache stays bounded."""
+        if not self.mapping_enabled:
+            return False
+        started = False
+        if (self.n_submaps == 0
+                or t - self.last_start >= self.cfg.submap_interval - 1e-6):
+            self.state = start_submap(self.cfg, self.state, T_odom_sensor,
+                                      jnp.asarray(t, jnp.float32))
+            self.n_submaps = min(self.n_submaps + 1, self.cfg.max_submaps)
+            self.last_start = t
+            started = True
+        self.state = integrate_points(self.cfg, self.state, points, colors,
+                                      valid, T_odom_sensor,
+                                      jnp.asarray(t, jnp.float32))
         return started
 
     def step_batch(self, depths: Array, colors: Optional[Array],

@@ -169,6 +169,36 @@ def test_stacked_isolation():
     assert int(out.num_blocks[1]) > 0 and int(out.num_blocks[0]) == 0
 
 
+def test_mapper_pointcloud_pipeline():
+    """HostMapper.step_points: cloud-sensor robots run the SAME submap
+    pipeline (rollover, history, merged map) as frame sensors — the
+    reference client's native pointcloud-topic input (SURVEY.md §3.2)."""
+    from coxgraph_tpu.mapper import submap_mapper as sm
+
+    scene = syn.default_scene()
+    cfg = sm.MapperConfig(
+        spec=SPEC,
+        integrator=tsdf_ops.TsdfIntegratorConfig(max_touched_blocks=256),
+        intrinsics=INTR, max_submaps=4, max_history=16,
+        submap_interval=0.4)
+    mapper = sm.HostMapper(cfg)
+    traj = syn.orbit_trajectory(8, scene.room_center, radius=2.0)
+    for i in range(8):
+        depth, color = syn.render_depth(scene, INTR, traj[i])
+        pts, cols, valid = _cloud_from_depth(depth, color)
+        mapper.step_points(pts, cols, valid, traj[i], 0.2 * i)
+    col = mapper.state.collection
+    assert int(col.num_submaps) >= 2          # rollovers fired
+    assert int(col.hist_count[0]) >= 1        # histories recorded
+    # reconstructed surface within a voxel of the analytic scene (q90)
+    merged = sm.merged_layer(cfg, col)
+    from coxgraph_tpu.ops import mesh as mesh_ops
+    verts, _ = mesh_ops.extract_mesh(SPEC, merged, min_weight=1e-4)
+    assert verts.shape[0] > 100
+    sdf = np.asarray(syn.scene_sdf(scene, jnp.asarray(verts.reshape(-1, 3))))
+    assert np.quantile(np.abs(sdf), 0.9) < 1.5 * SPEC.voxel_size
+
+
 def test_simple_mode_close_to_merged():
     """merge_points=False (the 'simple' variant) lands on the same
     surface; weights differ (no bundling) but geometry agrees."""
