@@ -33,33 +33,32 @@ def _popcount_u32(x):
     return (x * jnp.uint32(0x01010101)) >> 24
 
 
-def _match_kernel(da_ref, db_ref, d1_ref, i1_ref, d2_ref):
-    """One a-tile (128, 8 words) vs ALL b (Kb, 8 words).
+def _match_kernel(da_ref, dbT_ref, d1_ref, i1_ref, d2_ref):
+    """One a-tile (128, 8 words) vs ALL b, b TRANSPOSED to (8, Kb).
 
-    Outputs per a-row: best distance, best index, second-best distance."""
+    Fully static: the 8 descriptor words unroll into broadcast XORs on
+    (128, Kb) lane-major arrays; reductions stay 2-D via keepdims and
+    outputs are (tile, 1) columns. (The first version looped b rows with
+    dynamic_slice and carried 1-D state — interpret mode accepted it,
+    real Mosaic has no dynamic_slice lowering and 1-D carries waste 7 of
+    8 sublanes; caught by tests/test_tpu_onchip.py.)"""
     da = da_ref[:]                       # (128, 8) uint32
-    db = db_ref[:]                       # (Kb, 8) uint32
-    kb = db.shape[0]
+    dbT = dbT_ref[:]                     # (8, Kb) uint32
+    kb = dbT.shape[1]
 
-    d1 = jnp.full((_A_TILE,), 1 << 15, jnp.int32)
-    i1 = jnp.full((_A_TILE,), -1, jnp.int32)
-    d2 = jnp.full((_A_TILE,), 1 << 15, jnp.int32)
+    dist = jnp.zeros((_A_TILE, kb), jnp.int32)
+    for w in range(8):                   # static unroll over words
+        x = da[:, w:w + 1] ^ dbT[w:w + 1, :]          # (128, Kb)
+        dist = dist + _popcount_u32(x).astype(jnp.int32)
 
-    def body(j, carry):
-        d1, i1, d2 = carry
-        # distance of every a-row to b-row j: (128,8)^(1,8) → popcount sum
-        x = da ^ jax.lax.dynamic_slice_in_dim(db, j, 1, axis=0)
-        dist = jnp.sum(_popcount_u32(x), axis=1).astype(jnp.int32)  # (128,)
-        better1 = dist < d1
-        new_d2 = jnp.where(better1, d1, jnp.minimum(d2, dist))
-        new_d1 = jnp.where(better1, dist, d1)
-        new_i1 = jnp.where(better1, j, i1)
-        return new_d1, new_i1, new_d2
-
-    d1, i1, d2 = jax.lax.fori_loop(0, kb, body, (d1, i1, d2))
-    d1_ref[:] = d1
-    i1_ref[:] = i1
-    d2_ref[:] = d2
+    d1 = jnp.min(dist, axis=1, keepdims=True)         # (128, 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (_A_TILE, kb), 1)
+    i1 = jnp.min(jnp.where(dist == d1, col, kb), axis=1, keepdims=True)
+    dist2 = jnp.where(col == i1, jnp.int32(1 << 15), dist)
+    d2 = jnp.min(dist2, axis=1, keepdims=True)
+    d1_ref[...] = d1
+    i1_ref[...] = i1
+    d2_ref[...] = d2
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -69,30 +68,30 @@ def hamming_match_topk(da: Array, db: Array, interpret: bool = False):
     ka = da.shape[0]
     assert ka % _A_TILE == 0, f"Ka must be a multiple of {_A_TILE}"
     grid = (ka // _A_TILE,)
-    out = pl.pallas_call(
+    # default (VMEM-blocked) specs: memory_space=ANY only supports
+    # whole-array blocks with trivial index maps on real Mosaic —
+    # the ANY variant lowered in interpret mode but failed to compile
+    # on chip (caught by tests/test_tpu_onchip.py)
+    d1, i1, d2 = pl.pallas_call(
         _match_kernel,
         grid=grid,
-        # default (VMEM-blocked) specs: memory_space=ANY only supports
-        # whole-array blocks with trivial index maps on real Mosaic —
-        # the ANY variant lowered in interpret mode but failed to compile
-        # on chip (caught by tests/test_tpu_onchip.py)
         in_specs=[
             pl.BlockSpec((_A_TILE, 8), lambda i: (i, 0)),
-            pl.BlockSpec(db.shape, lambda i: (0, 0)),
+            pl.BlockSpec((8, db.shape[0]), lambda i: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((_A_TILE,), lambda i: (i,)),
-            pl.BlockSpec((_A_TILE,), lambda i: (i,)),
-            pl.BlockSpec((_A_TILE,), lambda i: (i,)),
+            pl.BlockSpec((_A_TILE, 1), lambda i: (i, 0)),
+            pl.BlockSpec((_A_TILE, 1), lambda i: (i, 0)),
+            pl.BlockSpec((_A_TILE, 1), lambda i: (i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((ka,), jnp.int32),
-            jax.ShapeDtypeStruct((ka,), jnp.int32),
-            jax.ShapeDtypeStruct((ka,), jnp.int32),
+            jax.ShapeDtypeStruct((ka, 1), jnp.int32),
+            jax.ShapeDtypeStruct((ka, 1), jnp.int32),
+            jax.ShapeDtypeStruct((ka, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(da, db)
-    return tuple(out)
+    )(da, db.T)
+    return d1[:, 0], i1[:, 0], d2[:, 0]
 
 
 def hamming_match_topk_reference(da: Array, db: Array):

@@ -66,8 +66,8 @@ def main():
     db = jnp.asarray(rng.integers(0, 2 ** 32, (96, 8), dtype=np.uint32))
     d1, i1, d2 = pallas_kernels.hamming_match_topk(da, db)
     # bit-exact reference distances
-    xa = np.unpackbits(np.asarray(da).view(np.uint8), axis=-1)
-    xb = np.unpackbits(np.asarray(db).view(np.uint8), axis=-1)
+    xa = np.unpackbits(np.ascontiguousarray(np.asarray(da)).view(np.uint8), axis=-1)
+    xb = np.unpackbits(np.ascontiguousarray(np.asarray(db)).view(np.uint8), axis=-1)
     dist = (xa[:, None, :] != xb[None, :, :]).sum(-1)
     srt = np.sort(dist, axis=1)
     np.testing.assert_array_equal(np.asarray(i1), dist.argmin(1))
