@@ -69,39 +69,59 @@ def load_pytree(path: str, template: Any) -> Any:
 
 
 def save_server(dirpath: str, server) -> None:
-    """Checkpoint a CoxgraphServer (server/fusion_server.py)."""
+    """Checkpoint a CoxgraphServer (server/fusion_server.py).
+
+    Async-PGO safe: with a background solve in flight
+    (ServerConfig.async_pgo), the solve thread rebinds submap poses and
+    constraint state under the server's _state_lock — an unlocked save
+    could record a torn mix of pre- and post-solve poses. All mutable
+    state is SNAPSHOTTED under that lock (cheap: references + small
+    copies); file IO happens outside it so the solve is never blocked on
+    disk."""
+    import contextlib
+
     os.makedirs(dirpath, exist_ok=True)
-    meta: Dict[str, Any] = {
-        "n_submaps": len(server.submaps),
-        "submaps": [
-            {"sid": s.sid, "client_id": s.client_id,
-             "client_submap_id": s.client_submap_id,
-             "start_time": s.start_time, "end_time": s.end_time}
+    lock = getattr(server, "_state_lock", None)
+    with (lock if lock is not None else contextlib.nullcontext()):
+        meta: Dict[str, Any] = {
+            "n_submaps": len(server.submaps),
+            "submaps": [
+                {"sid": s.sid, "client_id": s.client_id,
+                 "client_submap_id": s.client_submap_id,
+                 "start_time": s.start_time, "end_time": s.end_time}
+                for s in server.submaps
+            ],
+            "cli_ser": [[list(k), v] for k, v in server.cli_ser.items()],
+            "fused": {str(k): v for k, v in server.fused.items()},
+            "last_fusion_time": [[list(k), v]
+                                 for k, v in server.last_fusion_time.items()],
+            "in_control": server.in_control,
+            "T_G_cli_ids": sorted(server.T_G_cli),
+        }
+        constraints = server.constraints
+        heights = server.heights
+        frames = {f"T_G_cli_{c}": np.asarray(server.T_G_cli[c])
+                  for c in server.T_G_cli}
+        # jax arrays are immutable; capturing the references under the
+        # lock pins a consistent pose/layer set even if the solve
+        # rebinds the submap fields afterwards
+        submap_data = [
+            (s.sid, s.layer, np.asarray(s.T_cli_submap),
+             np.asarray(s.T_G_submap), np.asarray(s.hist_stamps),
+             np.asarray(s.hist_poses))
             for s in server.submaps
-        ],
-        "cli_ser": [[list(k), v] for k, v in server.cli_ser.items()],
-        "fused": {str(k): v for k, v in server.fused.items()},
-        "last_fusion_time": [[list(k), v]
-                             for k, v in server.last_fusion_time.items()],
-        "in_control": server.in_control,
-        "T_G_cli_ids": sorted(server.T_G_cli),
-    }
+        ]
     with open(os.path.join(dirpath, "meta.json"), "w") as f:
         json.dump(meta, f)
-    save_pytree(os.path.join(dirpath, "constraints.npz"), server.constraints)
-    save_pytree(os.path.join(dirpath, "heights.npz"), server.heights)
-    np.savez(
-        os.path.join(dirpath, "frames.npz"),
-        **{f"T_G_cli_{c}": np.asarray(server.T_G_cli[c])
-           for c in server.T_G_cli})
-    for s in server.submaps:
-        save_pytree(os.path.join(dirpath, f"submap_{s.sid}_layer.npz"),
-                    s.layer)
-        np.savez(os.path.join(dirpath, f"submap_{s.sid}_pose.npz"),
-                 T_cli_submap=np.asarray(s.T_cli_submap),
-                 T_G_submap=np.asarray(s.T_G_submap),
-                 hist_stamps=np.asarray(s.hist_stamps),
-                 hist_poses=np.asarray(s.hist_poses))
+    save_pytree(os.path.join(dirpath, "constraints.npz"), constraints)
+    save_pytree(os.path.join(dirpath, "heights.npz"), heights)
+    np.savez(os.path.join(dirpath, "frames.npz"), **frames)
+    for sid, layer, T_cli, T_G, hs, hp in submap_data:
+        save_pytree(os.path.join(dirpath, f"submap_{sid}_layer.npz"),
+                    layer)
+        np.savez(os.path.join(dirpath, f"submap_{sid}_pose.npz"),
+                 T_cli_submap=T_cli, T_G_submap=T_G,
+                 hist_stamps=hs, hist_poses=hp)
 
 
 def load_server(dirpath: str, server) -> None:

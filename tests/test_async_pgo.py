@@ -209,6 +209,43 @@ def test_concurrent_stress_random_interleaving():
     assert all(np.isfinite(v) for vs in res.values() for v in vs)
 
 
+def test_checkpoint_during_inflight_solve(tmp_path):
+    """save_server taken while a background solve is mid-flight must
+    capture a CONSISTENT snapshot (all pre-solve poses — the solve
+    applies its result atomically under _state_lock afterwards), not a
+    torn mix, and must not deadlock against the solve thread."""
+    from coxgraph_tpu.utils import checkpoint as ckpt
+
+    clients = [make_robot(0)[0], make_robot(1)[0]]
+    server = fs.CoxgraphServer(
+        fs.ServerConfig(spec=SPEC, max_submaps=8, refuse_interval=0.0,
+                        async_pgo=True,
+                        solver=pg.SolverConfig(iterations=3)),
+        clients)
+    started, release = gate_optimize(server)
+    assert server.map_fusion(fs.MapFusionMsg(
+        from_client=0, from_time=0.0, to_client=1, to_time=0.0,
+        T_from_to=geo.identity()))
+    assert started.wait(10)
+
+    pre_poses = [np.asarray(s.T_G_submap).copy() for s in server.submaps]
+    d = str(tmp_path / "ckpt")
+    ckpt.save_server(d, server)                   # solve still in flight
+    release.set()
+    server.wait_for_optimize()
+    assert server.optimize_errors == []
+
+    server2 = fs.CoxgraphServer(
+        fs.ServerConfig(spec=SPEC, max_submaps=8, refuse_interval=0.0,
+                        solver=pg.SolverConfig(iterations=3)),
+        [make_robot(0)[0], make_robot(1)[0]])
+    ckpt.load_server(d, server2)
+    assert len(server2.submaps) == len(pre_poses)
+    for s, pre in zip(server2.submaps, pre_poses):
+        np.testing.assert_allclose(np.asarray(s.T_G_submap), pre,
+                                   atol=1e-7)
+
+
 def test_solve_failure_is_contained():
     clients = [make_robot(0)[0], make_robot(1)[0]]
     server = fs.CoxgraphServer(
