@@ -74,6 +74,59 @@ def main():
     np.testing.assert_array_equal(np.asarray(d1), srt[:, 0])
     np.testing.assert_array_equal(np.asarray(d2), srt[:, 1])
 
+    # --- XLA-path ops on real hardware ---------------------------------
+    # The bf16 lo-plane incident proved TPU-XLA semantics can silently
+    # diverge from CPU (excess-precision elision, different div/rsqrt
+    # lowering) — so the mesher / ESDF / merge / registration chain gets
+    # loose-gate on-chip smoke checks against analytic ground truth too.
+    from coxgraph_tpu.ops import esdf as esdf_ops
+    from coxgraph_tpu.ops import merge as merge_ops
+    from coxgraph_tpu.ops import mesh as mesh_ops
+    from coxgraph_tpu.ops import registration as reg
+
+    layer_x = jax.tree.map(jnp.asarray, b)        # the XLA-integrated layer
+
+    # mesher: extracted vertices lie on the analytic surface
+    verts, _ = mesh_ops.extract_mesh(spec, layer_x, min_weight=1e-4)
+    assert verts.shape[0] > 100, verts.shape
+    vs = np.asarray(syn.scene_sdf(scene, jnp.asarray(verts.reshape(-1, 3))))
+    assert np.quantile(np.abs(vs), 0.9) < 1.5 * spec.voxel_size, \
+        np.quantile(np.abs(vs), 0.9)
+
+    # ESDF: near-band values track the TSDF they were frozen from
+    es = esdf_ops.esdf_from_tsdf(spec, layer_x)
+    pts = jnp.asarray(verts.reshape(-1, 3)[:256])
+    d_es, ok_es = esdf_ops.sample_esdf(spec, es, pts)
+    sel = np.asarray(ok_es)
+    assert sel.sum() > 50
+    assert np.quantile(np.abs(np.asarray(d_es)[sel]), 0.9) \
+        < 1.5 * spec.voxel_size
+
+    # merge: identity transform-fuse into empty reproduces the layer
+    dst = merge_ops.merge_layer_into(
+        spec, vx.create_tsdf_layer(spec), layer_x, geo.identity(),
+        max_touched=256)
+    sd, wd, okd = vx.sample_tsdf_trilinear(spec, dst, pts)
+    ss, _, oks = vx.sample_tsdf_trilinear(spec, layer_x, pts)
+    m = np.asarray(okd & oks)
+    assert m.sum() > 50
+    assert np.quantile(
+        np.abs(np.asarray(sd)[m] - np.asarray(ss)[m]), 0.9) \
+        < 0.5 * spec.voxel_size
+
+    # registration: recover a small in-plane perturbation
+    T_pert = geo.compose(geo.identity(), geo.se3_exp(
+        jnp.asarray([0.0, 0.0, 0.02, 0.03, -0.02, 0.01])))
+    # min_weight below the single-frame 1/d² observation weights
+    res = reg.register_pair(spec, layer_x, layer_x, T_pert,
+                            reg.RegistrationConfig(iterations=8,
+                                                   min_weight=1e-3))
+    err = np.abs(np.asarray(res.T_A_B[4:7]))
+    assert int(res.n_inliers) > 100, int(res.n_inliers)
+    assert float(res.cost) < float(res.initial_cost), \
+        (float(res.cost), float(res.initial_cost))
+    assert err.max() < 0.02, err     # residual translation < 2 cm
+
     print("ONCHIP_OK")
 
 
