@@ -16,7 +16,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def tpu_reachable(timeout_s: int = 180) -> bool:
+def tpu_reachable(timeout_s: int = 420) -> bool:
     code = ("import jax, jax.numpy as jnp;"
             "print(float(jnp.sum(jnp.ones((4,4)))), jax.default_backend())")
     env = dict(os.environ)
@@ -41,6 +41,6 @@ def test_pallas_kernels_on_chip():
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tests",
                                       "tpu_onchip_worker.py")],
-        capture_output=True, text=True, timeout=600, cwd=REPO, env=env)
+        capture_output=True, text=True, timeout=900, cwd=REPO, env=env)
     assert out.returncode == 0, out.stderr[-4000:]
     assert "ONCHIP_OK" in out.stdout
