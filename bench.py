@@ -1,14 +1,30 @@
-"""Benchmark: TSDF integration frames/s/chip on the per-robot hot path.
+"""Benchmark: TSDF integration frames/s/chip (headline) + the two-phase
+registration solve (the "ICP" half of BASELINE.md's TSDF+ICP target).
 
 Prints ONE JSON line:
   {"metric": "tsdf_integration_fps", "value": N, "unit": "frames/s/chip",
-   "vs_baseline": N}
+   "vs_baseline": N, "extra_metrics": {"two_phase_optimize_s": ...}}
 
 vs_baseline compares against the CPU baseline (the reference pipeline is
 CPU-only — voxblox fast integrator w/ 8 OpenMP threads; BASELINE.md pins
 the operating point: 640x480 @ 5 cm voxels, 0.15 m truncation, 10 m max
-range). The CPU number is measured once on this machine via a subprocess
-and cached in .bench_cpu_baseline.json.
+range). The CPU number is pinned in .bench_cpu_baseline.json — the best
+CPU-path fps ever measured on this machine (the TPU-tuned flat layouts
+run slower on CPU, so the pin keeps the comparison honest).
+
+Capture strategy for the flaky axon tunnel (VERDICT r2 #1 — two rounds
+of empty driver artifacts): every deterministic cost is pre-paid or
+cached so a capture attempt needs seconds of healthy tunnel, not
+minutes —
+  - bench frames are rendered ONCE on the CPU backend and cached in
+    .bench_frames.npz (input pipeline off the tunnel entirely);
+  - the persistent XLA compile cache (threshold 0 s) covers every
+    program including the ~0.35 s-per-op tiny-op tail;
+  - the TSDF measurement uses ONE kernel-bearing program (a single
+    integrate_batch window over the whole clip).
+Fully warm, a TSDF capture is ~8 s of tunnel time (measured round 3);
+the main loop just keeps probing + attempting until the budget runs
+out, and prints as soon as it has the headline number.
 """
 
 import argparse
@@ -20,82 +36,42 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, ".bench_cpu_baseline.json")
+FRAMES = os.path.join(REPO, ".bench_frames.npz")
+ONCHIP_LOG = os.path.join(REPO, "last_onchip_run.json")
 N_FRAMES = 30
-SCALE = 1.0  # 640x480
 
 
-def run(cpu: bool, n_frames: int, quiet: bool = False):
+def _sub(args, timeout):
+    return subprocess.run([sys.executable, os.path.abspath(__file__)] + args,
+                          capture_output=True, text=True, timeout=timeout,
+                          cwd=REPO)
+
+
+def ensure_frames(timeout=600) -> bool:
+    """Render-and-cache the bench clip on the CPU backend (no tunnel)."""
+    if os.path.exists(FRAMES):
+        return True
+    out = _sub(["--gen-frames"], timeout)
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-2000:])
+        return False
+    return os.path.exists(FRAMES)
+
+
+def run_tsdf(cpu: bool, n_frames: int) -> float:
     from coxgraph_tpu.utils import runtime
     if cpu:
         runtime.force_cpu(1)
     runtime.enable_compilation_cache()
 
     import jax
-    import jax.numpy as jnp
 
-    from coxgraph_tpu.core import voxel as vx
-    from coxgraph_tpu.frontends import synthetic as syn
-    from coxgraph_tpu.mapper import submap_mapper as sm
-    from coxgraph_tpu.ops import tsdf as tsdf_ops
+    from coxgraph_tpu.eval import benchmarks as bm
 
-    cfg = sm.MapperConfig(
-        spec=vx.VoxelGridSpec(voxel_size=0.05, voxels_per_side=16,
-                              grid_dim=64, max_blocks=2048, truncation=0.15),
-        # per-frame touched-block capacity sized to the scene (a frame of
-        # this clip touches ~350 blocks; capacity is the fixed-shape bound)
-        integrator=tsdf_ops.TsdfIntegratorConfig(max_touched_blocks=512),
-        intrinsics=syn.PinholeIntrinsics().scaled(SCALE),
-        max_submaps=4,
-        max_history=1024,
-        submap_interval=1e9,  # single submap: pure integration throughput
-    )
-    scene = syn.default_scene()
-    traj = syn.orbit_trajectory(n_frames, scene.room_center, radius=2.5)
-
-    # pre-render all frames (input pipeline excluded from the metric)
-    frames = []
-    for i in range(n_frames):
-        d, c = syn.render_depth(scene, cfg.intrinsics, traj[i])
-        frames.append((d, c))
-    jax.block_until_ready(frames[-1][0])
-
-    state = sm.create_mapper(cfg)
-    state = sm.start_submap(cfg, state, traj[0], jnp.asarray(0.0))
-    depths = jnp.stack([f[0] for f in frames])
-    colors = jnp.stack([f[1] for f in frames])
-    ts = jnp.arange(n_frames, dtype=jnp.float32) * 0.05
-
-    def checksum(s):
-        # FORCED device→host readback: on the remote-attached TPU,
-        # block_until_ready can return before execution finishes (the
-        # tunnel acks scheduling, and outputs that don't depend on the
-        # voxel math are computed early) — only a data readback is an
-        # honest fence.
-        return float(jnp.sum(s.collection.layers.weight))
-
-    # warmup / compile (the window shape below)
-    state = sm.integrate_batch(cfg, state, depths[:1], colors[:1],
-                               traj[:1], ts[:1])
-    state = sm.integrate_batch(cfg, state, depths[1:], colors[1:],
-                               traj[1:], ts[1:])
-    checksum(state)
-
-    # measured run: the per-robot streaming pipeline feeds frame windows
-    # through integrate_batch (one dispatch per window)
-    state = sm.create_mapper(cfg)
-    state = sm.start_submap(cfg, state, traj[0], jnp.asarray(0.0))
-    state = sm.integrate_batch(cfg, state, depths[:1], colors[:1],
-                               traj[:1], ts[:1])
-    checksum(state)
-    t0 = time.perf_counter()
-    state = sm.integrate_batch(cfg, state, depths[1:], colors[1:],
-                               traj[1:], ts[1:])
-    checksum(state)
-    dt = time.perf_counter() - t0
-    fps = (n_frames - 1) / dt
-    if not quiet:
-        print(f"# backend={jax.default_backend()} frames={n_frames - 1} "
-              f"wall={dt:.2f}s fps={fps:.1f}", file=sys.stderr)
+    depths, colors, traj = bm.load_frames(FRAMES)
+    fps = bm.tsdf_benchmark(depths, colors, traj, n_frames=n_frames)
+    print(f"# backend={jax.default_backend()} frames={n_frames} "
+          f"fps={fps:.1f}", file=sys.stderr)
     return fps
 
 
@@ -103,10 +79,7 @@ def cpu_baseline() -> float:
     if os.path.exists(CACHE):
         with open(CACHE) as f:
             return json.load(f)["fps"]
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--cpu-baseline"],
-        capture_output=True, text=True, timeout=3600, cwd=REPO,
-    )
+    out = _sub(["--cpu-baseline"], 3600)
     line = out.stdout.strip().splitlines()[-1]
     fps = json.loads(line)["fps"]
     with open(CACHE, "w") as f:
@@ -114,7 +87,23 @@ def cpu_baseline() -> float:
     return fps
 
 
-def tpu_probe(timeout_s: int = 240):
+def record_onchip(status: str, **extra) -> None:
+    """Staleness artifact (VERDICT r2 Weak #5): when did anything last
+    actually execute on the real chip, and how did it go."""
+    try:
+        commit = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                                capture_output=True, text=True,
+                                cwd=REPO).stdout.strip()
+    except Exception:
+        commit = "unknown"
+    entry = {"timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+             "commit": commit, "source": "bench.py", "status": status}
+    entry.update(extra)
+    with open(ONCHIP_LOG, "w") as f:
+        json.dump(entry, f, indent=1)
+
+
+def tpu_probe(timeout_s: int = 120):
     """One TPU-initialization probe in a subprocess — the axon tunnel,
     when down, HANGS device enumeration forever; a hung bench would
     otherwise eat the driver's whole budget. → (ok, why)."""
@@ -133,92 +122,125 @@ def tpu_probe(timeout_s: int = 240):
         return False, f"probe hung > {timeout_s}s (tunnel down)"
 
 
-def wait_for_tpu(budget_s: float = 900.0, probe_timeout_s: int = 240) -> bool:
-    """Retry TPU probes with backoff until one succeeds or the budget is
-    spent. Round-1 capture was lost to a single-probe give-up while the
-    tunnel flapped (VERDICT.md Weak #1); the tunnel often comes back
-    within minutes, so waiting it out is the whole game. Logs WHY each
-    attempt failed so a dead capture is diagnosable from stderr."""
-    deadline = time.monotonic() + budget_s
-    attempt = 0
-    while True:
-        attempt += 1
-        remaining = deadline - time.monotonic()
-        if remaining <= 5:
-            print(f"bench: giving up after {attempt - 1} probes / "
-                  f"{budget_s:.0f}s budget", file=sys.stderr)
-            return False
-        ok, why = tpu_probe(min(probe_timeout_s, int(remaining)))
-        if ok:
-            if attempt > 1:
-                print(f"bench: TPU came back on probe {attempt}",
-                      file=sys.stderr)
-            return True
-        print(f"bench: TPU probe {attempt} failed: {why} "
-              f"({deadline - time.monotonic():.0f}s budget left)",
-              file=sys.stderr)
-        time.sleep(min(20.0, max(0.0, deadline - time.monotonic())))
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu-baseline", action="store_true")
+    ap.add_argument("--gen-frames", action="store_true")
     ap.add_argument("--frames", type=int, default=N_FRAMES)
     ap.add_argument("--tpu-run", action="store_true",
-                    help="(internal) run the TPU measurement in-process")
-    ap.add_argument("--tpu-wait", type=float, default=900.0,
-                    help="seconds to keep re-probing a flaky tunnel")
+                    help="(internal) run the TSDF measurement in-process")
+    ap.add_argument("--solve-run", action="store_true",
+                    help="(internal) run the solve measurement in-process")
+    ap.add_argument("--budget", type=float, default=600.0,
+                    help="total seconds to ride out tunnel flaps")
+    ap.add_argument("--no-solve", action="store_true",
+                    help="skip the two_phase_optimize_s extra metric")
     args = ap.parse_args()
 
+    if args.gen_frames:
+        from coxgraph_tpu.utils import runtime
+        runtime.force_cpu(1)
+        runtime.enable_compilation_cache()
+        from coxgraph_tpu.eval import benchmarks as bm
+        bm.generate_frames(FRAMES, N_FRAMES)
+        return
+
     if args.cpu_baseline:
-        fps = run(cpu=True, n_frames=min(args.frames, 8), quiet=True)
+        if not ensure_frames():
+            sys.exit(1)
+        fps = run_tsdf(cpu=True, n_frames=min(args.frames, 8))
         print(json.dumps({"fps": fps}))
         return
 
     if args.tpu_run:
-        fps = run(cpu=False, n_frames=args.frames)
+        fps = run_tsdf(cpu=False, n_frames=args.frames)
         print(json.dumps({"fps": fps}))
         return
 
-    if not wait_for_tpu(budget_s=args.tpu_wait):
+    if args.solve_run:
+        from coxgraph_tpu.utils import runtime
+        runtime.enable_compilation_cache()
+        from coxgraph_tpu.eval import benchmarks as bm
+        print(json.dumps(bm.solve_benchmark()))
+        return
+
+    # ---- main capture loop -------------------------------------------
+    deadline = time.monotonic() + args.budget
+    if not ensure_frames(timeout=max(60, min(600, args.budget / 2))):
+        print("bench: frame-cache generation failed", file=sys.stderr)
+        sys.exit(2)
+
+    def remaining():
+        return deadline - time.monotonic()
+
+    fps = None
+    solve = None
+    attempt = 0
+    while remaining() > 10:
+        attempt += 1
+        ok, why = tpu_probe(min(120, max(10, int(remaining()))))
+        if not ok:
+            print(f"bench: TPU probe {attempt} failed: {why} "
+                  f"({remaining():.0f}s left)", file=sys.stderr)
+            time.sleep(min(15.0, max(0.0, remaining())))
+            continue
+        if fps is None:
+            try:
+                out = _sub(["--tpu-run", "--frames", str(args.frames)],
+                           timeout=max(30, min(420, remaining())))
+            except subprocess.TimeoutExpired:
+                print(f"bench: TSDF attempt {attempt} hung (tunnel drop "
+                      "mid-run); re-probing", file=sys.stderr)
+                continue
+            sys.stderr.write(out.stderr)
+            if out.returncode == 0 and out.stdout.strip():
+                fps = json.loads(
+                    out.stdout.strip().splitlines()[-1])["fps"]
+                record_onchip("ok", tsdf_fps=round(fps, 2))
+            else:
+                print(f"bench: TSDF attempt {attempt} rc={out.returncode}",
+                      file=sys.stderr)
+                continue
+        if fps is not None and (args.no_solve or solve is not None):
+            break
+        # solve-side extra metric: only with budget to spare — the
+        # headline number is already in hand
+        if remaining() < 60:
+            break
+        try:
+            out = _sub(["--solve-run"],
+                       timeout=max(30, min(420, remaining())))
+        except subprocess.TimeoutExpired:
+            print("bench: solve attempt hung; dropping the extra metric",
+                  file=sys.stderr)
+            break
+        sys.stderr.write(out.stderr)
+        if out.returncode == 0 and out.stdout.strip():
+            solve = json.loads(out.stdout.strip().splitlines()[-1])
+            record_onchip("ok", tsdf_fps=round(fps, 2),
+                          two_phase_optimize_s=round(solve["solve_s"], 3))
+        break
+
+    if fps is None:
+        record_onchip("unreachable")
         print("bench: TPU backend unreachable (axon tunnel down) — "
               "refusing to report a non-TPU number", file=sys.stderr)
         sys.exit(2)
 
-    # the measurement itself runs in a subprocess under a hard timeout:
-    # a tunnel drop mid-run would otherwise hang this process forever.
-    fps = None
-    for trial in range(3):
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--tpu-run",
-                 "--frames", str(args.frames)],
-                capture_output=True, text=True, timeout=900, cwd=REPO)
-        except subprocess.TimeoutExpired:
-            print(f"bench: TPU run {trial + 1} hung >900s (tunnel drop "
-                  "mid-run); re-probing", file=sys.stderr)
-            if not wait_for_tpu(budget_s=300.0):
-                break
-            continue
-        sys.stderr.write(out.stderr)
-        if out.returncode == 0 and out.stdout.strip():
-            fps = json.loads(out.stdout.strip().splitlines()[-1])["fps"]
-            break
-        print(f"bench: TPU run {trial + 1} failed rc={out.returncode}",
-              file=sys.stderr)
-        if not wait_for_tpu(budget_s=300.0):
-            break
-    if fps is None:
-        print("bench: every TPU measurement attempt failed — refusing to "
-              "report a non-TPU number", file=sys.stderr)
-        sys.exit(2)
     base = cpu_baseline()
-    print(json.dumps({
+    result = {
         "metric": "tsdf_integration_fps",
         "value": round(fps, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / base, 2),
-    }))
+    }
+    if solve is not None:
+        result["extra_metrics"] = {
+            "two_phase_optimize_s": round(solve["solve_s"], 3),
+            "solve_submaps": solve["submaps"],
+            "solve_pairs": solve["pairs"],
+        }
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -489,10 +489,18 @@ class RemoteVIO:
     state_query service clients (distribution_controller.h:49-55)."""
 
     def __init__(self, port: int, host: str = "127.0.0.1",
-                 timeout_ms: int = 30_000):
+                 timeout_ms: int = 30_000, ntf_cache_ttl: float = 20.0):
         self.bus = BusClient(port, host)
         self.timeout_ms = timeout_ms
-        self._ntf_cache: dict = {}
+        # need_to_fuse answers age out after ntf_cache_ttl seconds of DATA
+        # time (default = the server's refuse_interval, server.yaml:15): a
+        # permanently-pinned answer froze each client pair's fusibility
+        # forever — a False during the refuse window meant that pair never
+        # fused again through this path. The reference instead refreshes
+        # its cache via the updateNeedToFuse push (vio_interface.h:82-113);
+        # the TTL reproduces that refresh without the extra topic.
+        self.ntf_cache_ttl = ntf_cache_ttl
+        self._ntf_cache: dict = {}   # key → (answer, query data-time)
 
     def publish_loop_closure(self, from_client: int, from_time: float,
                              to_client: int, to_time: float, T,
@@ -510,12 +518,14 @@ class RemoteVIO:
                      use_cache: bool = True) -> bool:
         key = (min(cid_a, cid_b), max(cid_a, cid_b))
         if use_cache and key in self._ntf_cache:
-            return self._ntf_cache[key]
+            val, t_cached = self._ntf_cache[key]
+            if abs(t - t_cached) < self.ntf_cache_ttl:
+                return val
         out = self.bus.request("server/need_to_fuse",
                                struct.pack("<iid", cid_a, cid_b, t),
                                self.timeout_ms)
         val = bool(out and out[0])
-        self._ntf_cache[key] = val
+        self._ntf_cache[key] = (val, t)
         return val
 
     def control_trigger(self, in_control: bool) -> None:

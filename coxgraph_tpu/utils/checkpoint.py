@@ -97,6 +97,10 @@ def save_server(dirpath: str, server) -> None:
                                  for k, v in server.last_fusion_time.items()],
             "in_control": server.in_control,
             "T_G_cli_ids": sorted(server.T_G_cli),
+            # host-side constraint tags: row m of the pool ↔ kinds[m];
+            # without them a resumed server mis-tags residuals and the
+            # chain-constraint rebuild never fires
+            "constraint_kinds": list(server.constraint_kinds),
         }
         constraints = server.constraints
         heights = server.heights
@@ -141,6 +145,16 @@ def load_server(dirpath: str, server) -> None:
     if os.path.exists(hpath):   # absent in pre-height checkpoints
         server.heights = jax.tree.map(
             jnp.asarray, load_pytree(hpath, server.heights))
+        # host mirror of the pool watermark (saturation accounting)
+        server._n_heights = min(int(server.heights.count),
+                                server.heights.capacity)
+    if "constraint_kinds" in meta:   # absent in pre-r3 checkpoints
+        server.constraint_kinds = list(meta["constraint_kinds"])
+    else:
+        # legacy checkpoint: tags are unrecoverable; mark rows unknown so
+        # lengths still line up with the pool watermark
+        n = min(int(server.constraints.count), server.constraints.capacity)
+        server.constraint_kinds = ["unknown"] * n
     frames = np.load(os.path.join(dirpath, "frames.npz"))
     for c in meta["T_G_cli_ids"]:
         server.T_G_cli[int(c)] = jnp.asarray(frames[f"T_G_cli_{c}"])

@@ -27,7 +27,12 @@ def enable_compilation_cache(path: str | None = None) -> None:
     path = path or os.path.expanduser("~/.cache/coxgraph_tpu_xla")
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # 0, not the 0.5 default: through the axon tunnel even a trivial
+    # broadcast/convert compiles in ~0.35 s (never locally), and a cold
+    # process dispatches dozens of them — ~12 s of pure tiny-op compile
+    # per run that the default threshold refused to persist. A cache hit
+    # is ~0.03 s. (Measured round 3; see docs/PERFORMANCE.md.)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     _CACHE_ENABLED = True
 
 
