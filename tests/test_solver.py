@@ -184,3 +184,32 @@ def test_height_constraints_empty_pool_is_noop():
     h = pg.HeightConstraints.empty(4)  # allocated but all-invalid
     res = pg.optimize(noisy, c, pg.SolverConfig(iterations=20), heights=h)
     assert float(res.cost) < 1e-8
+
+
+def test_pool_overflow_watermark_and_solve_sanity():
+    """Pool `count` is an unclamped insertion watermark: rows past
+    capacity are dropped (mode='drop') but num_dropped() exposes how
+    many, and the solve sees exactly the surviving rows."""
+    import numpy as np
+
+    from coxgraph_tpu.core import geometry as geo
+
+    c = pg.RelPoseConstraints.empty(2)
+    for k in range(5):
+        c = c.add(k, k + 1, geo.identity())
+    assert c.capacity == 2
+    assert int(c.count) == 5
+    assert c.num_dropped() == 3
+    assert int(jnp.sum(c.valid)) == 2
+
+    h = pg.HeightConstraints.empty(2)
+    for k in range(3):
+        h = h.add(k, 0.5)
+    assert h.num_dropped() == 1
+
+    # the overflowing adds did not corrupt the surviving rows: a solve
+    # over the 2-constraint chain converges normally
+    poses = jnp.tile(geo.identity()[None], (3, 1))
+    res = pg.optimize(poses, c, pg.SolverConfig(iterations=5))
+    assert np.all(np.isfinite(np.asarray(res.poses)))
+    assert float(res.cost) <= float(res.initial_cost) + 1e-9
