@@ -93,6 +93,61 @@ def make_global_pytree(template, mesh: Mesh, leading_spec: P):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
+_COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
+                "collective-permute", "all-to-all")
+
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "f16": 2, "bf16": 2, "s64": 8,
+                "s32": 4, "u32": 4, "s16": 2, "u16": 2, "s8": 1,
+                "u8": 1, "pred": 1}
+
+
+def collective_payload_bytes(hlo_text: str) -> dict:
+    """Parse compiled HLO → {collective kind: payload bytes} summed over
+    every cross-device collective instruction (node_evaluator-style comm
+    accounting, but derived from the PROGRAM: the reference samples what
+    its transport moved, evaluation_config.yaml:1-9; XLA's collectives
+    aren't observable from Python at runtime, so the compiled HLO is the
+    ground truth of what each execution moves).
+
+    Note: an instruction inside a `while` body is counted ONCE — scale
+    by the loop's trip count (e.g. SolverConfig.iterations for the GN
+    loop) for per-call totals. On a mesh spanning H hosts, every listed
+    byte crosses the DCN boundary at least once per execution (ring
+    reductions ship each element across every inter-host link)."""
+    import re
+
+    out: dict = {}
+    for m in re.finditer(
+            r"=\s*([a-z0-9]+)\[([0-9,]*)\][^=]*?\b(" +
+            "|".join(_COLLECTIVES) + r")\(", hlo_text):
+        dtype, dims, kind = m.group(1), m.group(2), m.group(3)
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        out[kind] = out.get(kind, 0) + n * _DTYPE_BYTES.get(dtype, 4)
+    return out
+
+
+def fleet_optimize_comm_bytes(cfg, mesh: Mesh, fleet, inter_robot,
+                              solver_cfg) -> dict:
+    """Per-optimize collective payload of `fleet.fleet_optimize` on this
+    mesh: lower+compile (cache-friendly) and account the HLO →
+    {"per_iteration": {kind: bytes}, "per_optimize": total bytes across
+    the solver's GN iterations}. This is the DCN budget of one
+    distributed solve when the mesh spans hosts (BASELINE 2-host row
+    methodology; see docs/PERFORMANCE.md)."""
+    from . import fleet as fl
+
+    compiled = fl.fleet_optimize.lower(
+        cfg, mesh, fleet, inter_robot, solver_cfg).compile()
+    per_iter = collective_payload_bytes(compiled.as_text())
+    return {
+        "per_iteration": per_iter,
+        "per_optimize": sum(per_iter.values()) * solver_cfg.iterations,
+    }
+
+
 def replicate(x, mesh: Mesh):
     """Fully-replicated global placement of a host-identical pytree
     (every process must hold the same values — e.g. inter-robot

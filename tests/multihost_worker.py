@@ -38,9 +38,24 @@ def main():
         fleet_np, mesh, jax.sharding.PartitionSpec("robot"))
     inter = multihost.replicate(inter_np, mesh)
 
-    new_fleet, poses = fl.fleet_optimize(
-        CFG, mesh, fleet, inter, pg.SolverConfig(iterations=8))
+    scfg = pg.SolverConfig(iterations=8)
+    new_fleet, poses = fl.fleet_optimize(CFG, mesh, fleet, inter, scfg)
     np.save(out, np.asarray(poses))
+
+    # timed WARM re-solve (2-host weak-scaling methodology,
+    # docs/PERFORMANCE.md "Two-process scaling"): same compiled program,
+    # readback-fenced; the parent compares against a 1-process run
+    import time
+    t0 = time.perf_counter()
+    _, poses2 = fl.fleet_optimize(CFG, mesh, new_fleet, inter, scfg)
+    float(jnp.sum(poses2))
+    print(f"WORKER_TIME {time.perf_counter() - t0:.4f}")
+
+    # per-optimize collective payload from the compiled HLO (the DCN
+    # budget of one distributed solve on this mesh)
+    comm = multihost.fleet_optimize_comm_bytes(CFG, mesh, fleet, inter,
+                                               scfg)
+    print(f"WORKER_COMM {comm['per_optimize']}")
     print("WORKER_OK", pid)
 
 

@@ -98,6 +98,35 @@ def test_two_process_fleet_optimize(tmp_path):
 
     assert total_cost(p0) <= total_cost(init) + 1e-6
 
+    # scaling telemetry populated (BASELINE 2-host methodology): every
+    # worker reports its warm solve wall and the per-optimize collective
+    # payload parsed from the compiled HLO
+    import re
+
+    times = [float(re.search(r"WORKER_TIME ([0-9.]+)", lg).group(1))
+             for lg in logs]
+    comms = [int(re.search(r"WORKER_COMM ([0-9]+)", lg).group(1))
+             for lg in logs]
+    assert all(t > 0 for t in times)
+    assert comms[0] == comms[1] > 0       # same program on both hosts
+    # 1-process comparison number for the SAME global problem/mesh size
+    import time as _time
+
+    _, warm = fl.fleet_optimize(CFG, mesh, fleet, inter,
+                                pg.SolverConfig(iterations=8))
+    jax.block_until_ready(warm)
+    t0 = _time.perf_counter()
+    _, warm = fl.fleet_optimize(CFG, mesh, fleet, inter,
+                                pg.SolverConfig(iterations=8))
+    jax.block_until_ready(warm)
+    t1p = _time.perf_counter() - t0
+    comm1 = multihost.fleet_optimize_comm_bytes(
+        CFG, mesh, fleet, inter, pg.SolverConfig(iterations=8))
+    assert comm1["per_optimize"] == comms[0]   # same HLO either way
+    print(f"[scaling] 1-process warm {t1p:.4f}s; 2-process warm "
+          f"{max(times):.4f}s; efficiency {t1p / max(times):.2f}; "
+          f"per-optimize collective payload {comms[0]} B")
+
 
 def test_bus_cross_host_bind():
     """BusClient reaching a broker through the machine's non-loopback
