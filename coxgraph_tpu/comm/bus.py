@@ -443,7 +443,8 @@ class ServerService:
             q = self.server.state_query()
             return pickle.dumps(
                 {"n_submaps": q["n_submaps"],
-                 "aabbs": [np.asarray(a) for a in q["aabbs"]]}, protocol=4)
+                 "aabbs": [np.asarray(a) for a in q["aabbs"]],
+                 "resources": q.get("resources", {})}, protocol=4)
         if name == "get_final_global_mesh":
             # FilePath.srv semantics: empty path = no export
             path = payload.decode() or None

@@ -48,8 +48,10 @@ from ..ops import tsdf as tsdf_ops
 
 Array = jax.Array
 
-_HDR = struct.Struct("<II II I dd 3f f")  # cid, csid, n_verts, n_faces,
-#                                           n_kf, t0, t1, aabb_min, scale
+_HDR = struct.Struct("<II II II dd 3f f")  # cid, csid, n_verts, n_faces,
+#                                  n_kf, max_runs, t0, t1, aabb_min, scale
+
+RUN_SENTINEL = 0xFFFF   # unused observation-run slot
 
 
 @dataclasses.dataclass
@@ -66,16 +68,27 @@ class MeshWithHistory:
     qverts: np.ndarray         # (V,3) uint16 — quantized submap-frame verts
     vcolors: np.ndarray        # (V,3) uint8
     faces: np.ndarray          # (F,3) uint32
-    frame_idx: np.ndarray      # (F,) uint16 — observing keyframe per face
+    frame_runs: np.ndarray     # (F,P,2) uint16 — [start,end] keyframe-index
+    #                            observation runs per face (unused slots =
+    #                            RUN_SENTINEL), the reference's per-triangle
+    #                            run-length history (mesh_converter.h:137-142)
     kf_stamps: np.ndarray      # (K,) f64
     kf_poses: np.ndarray       # (K,7) f32 T_submap_cam
+
+    @property
+    def frame_idx(self) -> np.ndarray:
+        """(F,) first observing keyframe per face (start of run 0) —
+        the single-keyframe summary of the run-length history."""
+        if self.frame_runs.shape[0] == 0:
+            return np.zeros((0,), np.uint16)
+        return self.frame_runs[:, 0, 0]
 
     def pack(self) -> bytes:
         """→ bytes (the ROS-serialization equivalent; sizeOfMsg analogue
         for bandwidth accounting, msg_converter.h:149-167)."""
         head = _HDR.pack(self.client_id, self.submap_id,
                          self.qverts.shape[0], self.faces.shape[0],
-                         self.kf_stamps.shape[0],
+                         self.kf_stamps.shape[0], self.frame_runs.shape[1],
                          self.t0, self.t1, *map(float, self.aabb_min),
                          self.scale)
         # face indices ride as u16 whenever the clustered vertex count
@@ -86,14 +99,14 @@ class MeshWithHistory:
             np.ascontiguousarray(self.qverts, np.uint16).tobytes(),
             np.ascontiguousarray(self.vcolors, np.uint8).tobytes(),
             np.ascontiguousarray(self.faces.astype(fdtype)).tobytes(),
-            np.ascontiguousarray(self.frame_idx, np.uint16).tobytes(),
+            np.ascontiguousarray(self.frame_runs, np.uint16).tobytes(),
             np.ascontiguousarray(self.kf_stamps, np.float64).tobytes(),
             np.ascontiguousarray(self.kf_poses, np.float32).tobytes(),
         ])
 
     @staticmethod
     def unpack(buf: bytes) -> "MeshWithHistory":
-        (cid, csid, V, F, K, t0, t1, ax, ay, az,
+        (cid, csid, V, F, K, P, t0, t1, ax, ay, az,
          scale) = _HDR.unpack_from(buf, 0)
         off = _HDR.size
         qverts = np.frombuffer(buf, np.uint16, V * 3, off).reshape(V, 3)
@@ -104,22 +117,23 @@ class MeshWithHistory:
         faces = np.frombuffer(buf, fdtype, F * 3, off).reshape(
             F, 3).astype(np.uint32)
         off += F * 3 * fdtype().itemsize
-        frame_idx = np.frombuffer(buf, np.uint16, F, off)
-        off += F * 2
+        frame_runs = np.frombuffer(buf, np.uint16, F * P * 2,
+                                   off).reshape(F, P, 2)
+        off += F * P * 4
         kf_stamps = np.frombuffer(buf, np.float64, K, off)
         off += K * 8
         kf_poses = np.frombuffer(buf, np.float32, K * 7, off).reshape(K, 7)
         return MeshWithHistory(cid, csid, t0, t1,
                                np.array([ax, ay, az], np.float32), scale,
                                qverts.copy(), vcolors.copy(), faces.copy(),
-                               frame_idx.copy(), kf_stamps.copy(),
+                               frame_runs.copy(), kf_stamps.copy(),
                                kf_poses.copy())
 
     @property
     def nbytes(self) -> int:
         fb = 6 if self.qverts.shape[0] <= 0xFFFF else 12
         return (_HDR.size + self.qverts.shape[0] * 9
-                + self.faces.shape[0] * (fb + 2)
+                + self.faces.shape[0] * (fb + 4 * self.frame_runs.shape[1])
                 + self.kf_stamps.shape[0] * 36)
 
     def vertices(self) -> np.ndarray:
@@ -144,18 +158,55 @@ def _project_np(intr: PinholeIntrinsics, p_cam: np.ndarray):
     return u, v, z, ok
 
 
+def _visibility_runs(ok: np.ndarray, nidx: np.ndarray,
+                     max_runs: int) -> np.ndarray:
+    """Per-face in-frustum mask over keyframes (F,K) bool → run-length
+    observation history (F, max_runs, 2) u16 [start,end] inclusive, the
+    ``max_runs`` LONGEST runs per face (reference history is an
+    unbounded vector of pairs, mesh_converter.h:137-142; two slots cover
+    >99% of faces on orbit-style trajectories — extra runs are dropped
+    longest-first). Faces visible in no keyframe get the degenerate run
+    [nidx, nidx] (nearest keyframe) so decode still places them."""
+    F, K = ok.shape
+    runs = np.full((F, max_runs, 2), RUN_SENTINEL, np.uint16)
+    if F == 0:
+        return runs
+    padded = np.zeros((F, K + 2), bool)
+    padded[:, 1:-1] = ok
+    d = np.diff(padded.astype(np.int8), axis=1)       # (F, K+1)
+    f_s, k_s = np.nonzero(d == 1)                     # run starts
+    f_e, k_e = np.nonzero(d == -1)                    # run ends (excl.)
+    # starts/ends pair up in order within each face row
+    lengths = k_e - k_s
+    order = np.lexsort((-lengths, f_s))
+    f_o, s_o, e_o = f_s[order], k_s[order], k_e[order] - 1
+    # rank of each run within its face (0 = longest)
+    first = np.searchsorted(f_o, f_o)
+    rank = np.arange(len(f_o)) - first
+    keep = rank < max_runs
+    runs[f_o[keep], rank[keep], 0] = s_o[keep]
+    runs[f_o[keep], rank[keep], 1] = e_o[keep]
+    unseen = ~ok.any(axis=1)
+    runs[unseen, 0, 0] = nidx[unseen]
+    runs[unseen, 0, 1] = nidx[unseen]
+    return runs
+
+
 def encode_submap_mesh(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
                        hist_stamps: np.ndarray, hist_poses: np.ndarray,
                        intr: PinholeIntrinsics,
                        client_id: int = 0, submap_id: int = 0,
                        keyframe_stride: int = 4,
                        min_weight: float = 1e-4,
-                       cluster_scale: float = 1.5) -> MeshWithHistory:
+                       cluster_scale: float = 1.5,
+                       max_obs_runs: int = 2) -> MeshWithHistory:
     """Submap → MeshWithHistory: extract the mesh, vertex-cluster it to
     ≈cluster_scale·voxel_size, subsample the pose history into keyframes,
-    and tag every face with the keyframe that best observes its centroid
-    (in-frustum, nearest). Replaces the voxblox mesh_with_history emission
-    consumed at tsdf_recover.h:119-136."""
+    and record every face's run-length observation history (the contiguous
+    keyframe ranges whose frustum sees its centroid — the reference's
+    per-triangle [start,end] pairs, mesh_converter.h:137-142). Replaces
+    the voxblox mesh_with_history emission consumed at
+    tsdf_recover.h:119-136."""
     soup_v, soup_c = mesh_ops.extract_mesh(spec, layer,
                                            min_weight=min_weight)
     mesh = mesh_post.connect_soup(soup_v, soup_c)
@@ -176,28 +227,26 @@ def encode_submap_mesh(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
             np.zeros(3, np.float32), spec.voxel_size / 64.0,
             np.zeros((0, 3), np.uint16), np.zeros((0, 3), np.uint8),
             np.zeros((0, 3), np.uint32),
-            np.zeros((0,), np.uint16), kf_stamps, kf_poses)
+            np.full((0, max_obs_runs, 2), RUN_SENTINEL, np.uint16),
+            kf_stamps, kf_poses)
 
     centroids = mesh.vertices[mesh.faces].mean(axis=1)   # (F,3)
-    # best-view assignment: nearest in-frustum keyframe, with a plain
-    # nearest-keyframe fallback for faces outside every frustum
-    best = np.full(centroids.shape[0], np.inf)
-    fidx = np.zeros(centroids.shape[0], np.uint16)
+    # per-keyframe visibility of each face centroid (+ nearest keyframe
+    # as the fallback for faces outside every frustum)
+    K = kf_poses.shape[0]
+    ok_mat = np.zeros((centroids.shape[0], K), bool)
     nearest = np.full(centroids.shape[0], np.inf)
     nidx = np.zeros(centroids.shape[0], np.uint16)
-    for k in range(kf_poses.shape[0]):
+    for k in range(K):
         T_cam_sm = geo.inverse_np(kf_poses[k])
         p_cam = geo.transform_points_np(T_cam_sm, centroids)
         _, _, _, ok = _project_np(intr, p_cam)
+        ok_mat[:, k] = ok
         d = np.linalg.norm(p_cam, axis=1)
-        upd = ok & (d < best)
-        best[upd] = d[upd]
-        fidx[upd] = k
         near_upd = d < nearest
         nearest[near_upd] = d[near_upd]
         nidx[near_upd] = k
-    unseen = ~np.isfinite(best)
-    fidx[unseen] = nidx[unseen]
+    runs = _visibility_runs(ok_mat, nidx, max_obs_runs)
 
     aabb_min = mesh.vertices.min(axis=0)
     extent = mesh.vertices.max(axis=0) - aabb_min
@@ -210,7 +259,7 @@ def encode_submap_mesh(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
     return MeshWithHistory(
         client_id, submap_id, float(kf_stamps[0]), float(kf_stamps[-1]),
         aabb_min.astype(np.float32), scale, q, c8,
-        mesh.faces.astype(np.uint32), fidx, kf_stamps, kf_poses)
+        mesh.faces.astype(np.uint32), runs, kf_stamps, kf_poses)
 
 
 # ---------------------------------------------------------------------------
@@ -236,9 +285,13 @@ def decode_to_pointclouds(msg: MeshWithHistory,
     """MeshWithHistory → {keyframe id: (sensor-frame points (N,3),
     colors (N,3) f32)}. Each triangle emits a barycentric lattice of
     points at ≈ interpolate_voxel_size spacing with blended colors
-    (interpolateTriangle, mesh_converter.h:211-265), bucketed by its
-    observing keyframe (:144-159) and transformed into that keyframe's
-    sensor frame (getNextPointcloud, :186-209)."""
+    (interpolateTriangle, mesh_converter.h:211-265) into the pointcloud
+    of EVERY keyframe covered by its observation runs — the reference
+    expands each [start,end] pair into per-frame buckets
+    (mesh_converter.h:137-159), so multiply-observed surface is
+    re-integrated with multi-view weight, matching voxblox's
+    multi-observation averaging — then transforms each bucket into its
+    keyframe's sensor frame (getNextPointcloud, :186-209)."""
     if msg.faces.shape[0] == 0:
         return {}
     tri_v = msg.vertices()[msg.faces]                    # (F,3,3)
@@ -248,7 +301,7 @@ def decode_to_pointclouds(msg: MeshWithHistory,
     level = np.clip(np.ceil(edge / max(interpolate_voxel_size, 1e-6)
                             ).astype(np.int64), 1, max_level)
 
-    pts_parts, col_parts, fr_parts = [], [], []
+    pts_parts, col_parts, fid_parts = [], [], []
     for lv in range(1, max_level + 1):
         sel = level == lv
         if not np.any(sel):
@@ -256,19 +309,24 @@ def decode_to_pointclouds(msg: MeshWithHistory,
         w = _bary_lattice(lv)                            # (P,3)
         p = np.einsum("pk,tkd->tpd", w, tri_v[sel])      # (t,P,3)
         c = np.einsum("pk,tkd->tpd", w, tri_c[sel])
-        f = np.repeat(msg.frame_idx[sel], w.shape[0])
+        f = np.repeat(np.nonzero(sel)[0], w.shape[0])    # face id per pt
         pts_parts.append(p.reshape(-1, 3))
         col_parts.append(c.reshape(-1, 3))
-        fr_parts.append(f)
+        fid_parts.append(f)
     pts = np.concatenate(pts_parts).astype(np.float32)
     cls = np.concatenate(col_parts).astype(np.float32)
-    frs = np.concatenate(fr_parts)
+    fids = np.concatenate(fid_parts)
 
+    runs = msg.frame_runs                                # (F,P,2)
     out: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
-    for k in np.unique(frs):
-        m = frs == k
-        T_cam_sm = geo.inverse_np(msg.kf_poses[int(k)])
-        out[int(k)] = (geo.transform_points_np(T_cam_sm, pts[m]), cls[m])
+    for k in range(msg.kf_poses.shape[0]):
+        face_sees_k = ((runs[:, :, 0] <= k)
+                       & (k <= runs[:, :, 1])).any(axis=1)    # (F,)
+        m = face_sees_k[fids]
+        if not np.any(m):
+            continue
+        T_cam_sm = geo.inverse_np(msg.kf_poses[k])
+        out[k] = (geo.transform_points_np(T_cam_sm, pts[m]), cls[m])
     return out
 
 
@@ -317,19 +375,28 @@ def render_points(intr: PinholeIntrinsics, pts_cam: np.ndarray,
 def recover_layer(spec: vx.VoxelGridSpec, cfg: tsdf_ops.TsdfIntegratorConfig,
                   intr: PinholeIntrinsics, msg: MeshWithHistory,
                   interpolate_voxel_size: Optional[float] = None,
-                  method: str = "projective") -> vx.TsdfLayer:
+                  method: str = "projective",
+                  use_const_weight: bool = True) -> vx.TsdfLayer:
     """Rebuild a TSDF layer from a MeshWithHistory (TsdfRecover::processMesh,
-    tsdf_recover.h:59-99). ``method`` selects the re-integration path the
-    reference configures per node (tsdf_recover.yaml:5):
+    tsdf_recover.h:59-99). ``method`` selects the re-integration path
+    (voxblox configures its integrator per node via the ``method`` param;
+    the recover node uses "fast", tsdf_recover.yaml:6):
 
     - "projective": per keyframe, z-buffer-splat the pointcloud into a
       virtual RGB-D frame and run the projective frame integrator;
     - "merged": feed each keyframe cloud straight to the bundling
       pointcloud integrator (ops/points.py) — no virtual frame, no
       pinhole assumption on the receiver.
+
+    ``use_const_weight=True`` (default) disables 1/d² distance weighting
+    for the re-integration, matching the reference recover node's
+    use_const_weight: true (tsdf_recover.yaml:11) — mesh-decoded points
+    have no sensor-noise model, so distance weighting is meaningless.
     """
     space = (interpolate_voxel_size if interpolate_voxel_size is not None
              else spec.voxel_size)
+    if use_const_weight:
+        cfg = dataclasses.replace(cfg, use_distance_weight=False)
     clouds = decode_to_pointclouds(msg, interpolate_voxel_size=space)
     layer = vx.create_tsdf_layer(spec)
     if method == "merged":
@@ -340,10 +407,15 @@ def recover_layer(spec: vx.VoxelGridSpec, cfg: tsdf_ops.TsdfIntegratorConfig,
             max_touched_blocks=cfg.max_touched_blocks,
             use_distance_weight=cfg.use_distance_weight,
             use_dropoff=cfg.use_dropoff)
+        # ONE capacity from the largest cloud in the message: per-cloud
+        # power-of-two buckets compiled a fresh integrate_points program
+        # per distinct bucket (~10-40 s each over the axon tunnel for a
+        # single multi-keyframe message — ADVICE r2)
+        n_max = max(c[0].shape[0] for c in clouds.values())
+        cap = max(1 << (max(n_max, 1) - 1).bit_length(), 256)
         for k in sorted(clouds):
             pts_cam, cols = clouds[k]
             n = pts_cam.shape[0]
-            cap = max(1 << (max(n, 1) - 1).bit_length(), 256)
             p = np.zeros((cap, 3), np.float32)
             c = np.zeros((cap, 3), np.float32)
             m = np.zeros((cap,), bool)

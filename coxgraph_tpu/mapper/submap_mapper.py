@@ -236,8 +236,9 @@ def integrate_points_impl(cfg: MapperConfig, state: MapperState,
                           t: Array) -> MapperState:
     """Integrate one unordered pointcloud into the active submap — the
     reference client's native ``pointcloud``-topic input (voxblox
-    tsdf_server integratePointCloud, SURVEY.md §3.2; 'merged' method,
-    tsdf_recover.yaml:5). Mirror of integrate_impl for cloud sensors
+    tsdf_server integratePointCloud, SURVEY.md §3.2; the voxblox
+    merged/simple pointcloud-integrator family, ops/points.py
+    docstring). Mirror of integrate_impl for cloud sensors
     (lidar, recovered mesh points): same history append, same stacked
     flat-pool discipline (ops/points.py)."""
     col = state.collection

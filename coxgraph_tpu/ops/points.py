@@ -1,7 +1,8 @@
 """Pointcloud TSDF integration ("merged" integrator) — the voxblox
-pointcloud-integrator family the reference configures per node
-(tsdf_recover.yaml:5 ``method: merged``, tsdf_client.launch:25-50;
-integratePointCloud call site tsdf_recover.h:75). The projective
+pointcloud-integrator family (merged/simple/fast, selected per node by
+the ``method`` param: tsdf_recover.yaml:6 uses "fast",
+tsdf_server_default.yaml:6 "projective"; integratePointCloud call site
+tsdf_recover.h:75). The projective
 integrator (ops/tsdf.py) covers the organized-RGB-D hot path; this one
 accepts ARBITRARY unordered pointclouds — lidar scans, recovered mesh
 points, clouds with no pinhole model — which the reference's L1 consumes
@@ -57,7 +58,15 @@ class PointIntegratorConfig:
     min_range: float = 0.1
     max_weight: float = 1.0e4
     band_samples: int = 7        # ray samples across [-τ, τ]; 7 ⇒ one
-    #                              voxel step at τ=0.15, voxel=0.05
+    #                              voxel step at τ=0.15, voxel=0.05.
+    #  Weight-parity nuance vs voxblox's one-update-per-voxel ray cast
+    #  (ADVICE r2): the fixed-offset samples step ~one voxel ALONG THE
+    #  RAY, so an oblique ray can place 0 or 2 samples inside one voxel
+    #  — per-voxel observation weight varies with ray angle, and two
+    #  samples of one ray in one voxel double-count that ray's weight.
+    #  Bounded (≤2x per ray per voxel) and angle-smooth; the accuracy
+    #  gates (tests/test_points.py) hold. Deduplicate per (voxel, ray)
+    #  before the scatter-add if tighter parity is ever needed.
     carve_samples: int = 0       # free-space samples sensor→(surface-τ);
     #                              0 = carving off (voxblox
     #                              voxel_carving_enabled=false). Coarse:

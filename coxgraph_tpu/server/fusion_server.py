@@ -199,6 +199,11 @@ class CoxgraphServer:
         self.dropped_constraints = 0
         self.dropped_heights = 0
         self._n_heights = 0
+        # per-node CPU/mem sampling (node_evaluator ["cpu","mem"] modes,
+        # evaluation_config.yaml:1-2); sampled on demand by state_query,
+        # periodically via .start() from experiment drivers
+        from ..utils.runtime import ResourceSampler
+        self._resources = ResourceSampler()
 
     # ------------------------------------------------------------------
     # Distribution controller (distribution_controller.h:49-87)
@@ -213,7 +218,11 @@ class CoxgraphServer:
                 global_opt.submap_aabb(self.cfg.spec, s.layer), s.T_G_submap)
                 for s in self.submaps]
             return {"n_submaps": len(self.submaps),
-                    "aabbs": boxes}
+                    "aabbs": boxes,
+                    # node_evaluator ["cpu","mem"] parity
+                    # (evaluation_config.yaml:1-2): this node's resource
+                    # sample rides the state query
+                    "resources": self._resources.sample()}
 
     # ------------------------------------------------------------------
     # Fusion gating (needRefuse/needToFuse, coxgraph_server.cpp:372-394)

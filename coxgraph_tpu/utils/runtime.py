@@ -87,13 +87,52 @@ class Timers:
 
 class ResourceSampler:
     """Process CPU/memory sampling — the node_evaluator equivalent
-    (reference: per-node CPU/mem/bandwidth metrics wired through
-    evaluation_config.yaml:1-9). Reads /proc; sample() returns deltas
-    since the previous call."""
+    (reference: per-node ["cpu","mem"] eval modes,
+    evaluation_config.yaml:1-2). Reads /proc; sample() returns deltas
+    since the previous call. start(rate_hz)/stop() run the periodic
+    sampling loop the reference's node_evaluator runs per node;
+    summary() is the end-of-experiment rollup (its plot_dir output,
+    :9)."""
 
     def __init__(self):
         self._last = None
         self.samples = []
+        self._thread = None
+        self._stop = None
+
+    def start(self, rate_hz: float = 1.0) -> "ResourceSampler":
+        """Sample periodically on a daemon thread until stop()."""
+        import threading
+
+        if self._thread is not None:
+            return self
+        self._stop = threading.Event()
+        self.sample()                       # baseline for the first delta
+
+        def loop():
+            while not self._stop.wait(1.0 / rate_hz):
+                self.sample()
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> dict:
+        if self._thread is not None:
+            self._stop.set()
+            self._thread.join()
+            self._thread = None
+        return self.summary()
+
+    def summary(self) -> dict:
+        if not self.samples:
+            return {"n": 0}
+        cpu = [s["cpu_pct"] for s in self.samples]
+        rss = [s["rss_mb"] for s in self.samples]
+        return {"n": len(self.samples),
+                "cpu_pct_mean": sum(cpu) / len(cpu),
+                "cpu_pct_max": max(cpu),
+                "rss_mb_max": max(rss)}
 
     @staticmethod
     def _read():

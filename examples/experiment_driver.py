@@ -103,6 +103,11 @@ def main() -> None:
         proxies)
     vio = cbus.RemoteVIO(port)
 
+    # node_evaluator ["cpu","mem"] sampling for the server node
+    # (evaluation_config.yaml:1-2): periodic samples for the whole
+    # experiment, summarized at the end next to the bandwidth log
+    server._resources.start(rate_hz=2.0)
+
     # --- start_mapping.sh: toggle every robot's mapper ON ----------------
     # retry until each robot's service is registered (imports take a while)
     for cid in range(2):
@@ -151,6 +156,9 @@ def main() -> None:
     err = geo.se3_log(geo.relative(server.T_G_cli[1], X[1]))
     e = float(np.linalg.norm(np.asarray(err)))
     print(f"client-frame alignment error: {e:.3f}", flush=True)
+    res = server._resources.stop()
+    print(f"server node resources: {res}", flush=True)
+    assert res["n"] > 0
 
     for p in procs:
         p.terminate()

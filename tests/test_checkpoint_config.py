@@ -139,6 +139,23 @@ def test_resource_sampler():
     assert len(rs.samples) == 1
 
 
+def test_resource_sampler_periodic():
+    """node_evaluator periodic per-node sampling (["cpu","mem"] modes,
+    evaluation_config.yaml:1-2): start() samples on a timer until
+    stop(), which returns the end-of-experiment summary."""
+    import time
+
+    from coxgraph_tpu.utils.runtime import ResourceSampler
+    rs = ResourceSampler().start(rate_hz=20.0)
+    time.sleep(0.4)
+    summary = rs.stop()
+    assert summary["n"] >= 3
+    assert summary["rss_mb_max"] > 1.0
+    assert summary["cpu_pct_mean"] >= 0.0
+    # stop() is idempotent and keeps the summary
+    assert rs.stop()["n"] == summary["n"]
+
+
 def test_average_same_stamp():
     import numpy as np
     from coxgraph_tpu.server.fusion_server import average_same_stamp

@@ -1,7 +1,7 @@
 """Pointcloud ("merged") integrator — ops/points.py.
 
-Reference parity: voxblox pointcloud integrators, configured per node at
-tsdf_recover.yaml:5 (method: merged) and consumed at tsdf_recover.h:75
+Reference parity: the voxblox merged/simple pointcloud-integrator family
+(selected per node by the ``method`` param) consumed at tsdf_recover.h:75
 (integratePointCloud). Golden strategy (SURVEY.md §4): integrate points
 backprojected from an analytic-scene depth render and cross-check the
 result against the projective integrator on the SAME frame, plus direct

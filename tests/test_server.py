@@ -378,7 +378,8 @@ def test_combined_submap_mesh_coloring(world):
         return MeshWithHistory(
             cid, csid, 0.0, 1.0, np.zeros(3, np.float32), 0.01,
             q, np.full((3, 3), 128, np.uint8),
-            np.array([[0, 1, 2]], np.uint32), np.zeros(1, np.uint16),
+            np.array([[0, 1, 2]], np.uint32),
+            np.zeros((1, 1, 2), np.uint16),
             np.zeros(1), np.asarray(geo.identity())[None].astype(np.float32))
 
     I = jnp.asarray(np.array([1, 0, 0, 0, 0, 0, 0], np.float32))
@@ -551,3 +552,14 @@ def test_height_pool_saturation_warns(world):
     assert server.dropped_heights == 3
     assert len(saturated) == 3
     assert server._n_heights == cap
+
+
+def test_state_query_reports_node_resources(world):
+    """node_evaluator ["cpu","mem"] parity (evaluation_config.yaml:1-2):
+    the server's state query carries a CPU/RSS sample of its node."""
+    *_, clients = world
+    server = make_server(clients)
+    server.state_query()                   # baseline sample
+    q = server.state_query()
+    assert q["resources"]["rss_mb"] > 1.0
+    assert q["resources"]["cpu_pct"] >= 0.0
