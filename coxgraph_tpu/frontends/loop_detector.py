@@ -38,6 +38,11 @@ class LoopDetectorConfig:
     min_time_separation: float = 3.0   # s, same-robot loop gate
     max_candidates: int = 2            # verified per new keyframe
     keyframe_stride: float = 0.5       # s between stored keyframes
+    sqrt_info: float = 10.0            # emitted measurement weight — the
+    #  MapFusion message carries a 6x6 information matrix
+    #  (MapFusion.msg:1-6); without it a closure enters pose graphs at
+    #  weight 1 against odometry chains whitened at ~20 and cannot pull
+    #  the drift out (0 ⇒ emit None and let receivers default)
 
 
 @dataclasses.dataclass
@@ -126,9 +131,12 @@ class LoopDetector:
             T_a_b, n_inl = ft.estimate_relative_pose(
                 kf.kp, kp, self.cfg.features, key=k)
             if int(n_inl) >= self.cfg.min_inliers:
+                si = (self.cfg.sqrt_info * jnp.eye(6)
+                      if self.cfg.sqrt_info > 0 else None)
                 msgs.append(MapFusionMsg(
                     from_client=kf.client_id, from_time=kf.t,
-                    to_client=client_id, to_time=t, T_from_to=T_a_b))
+                    to_client=client_id, to_time=t, T_from_to=T_a_b,
+                    sqrt_info=si))
 
         self.keyframes.append(Keyframe(client_id=client_id, t=t, kp=kp))
         return msgs

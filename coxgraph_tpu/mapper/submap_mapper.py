@@ -52,6 +52,14 @@ class MapperConfig:
     submap_interval: float = 10.0     # s (coxgraph_client.yaml:5)
     max_constraints: int = 256
     odom_sqrt_info: float = 20.0      # odometry constraint confidence
+    # Absolute height priors on submap poses (odom z at submap creation;
+    # gravity-aligned VIO makes it an absolute measurement). 0 = off.
+    # Purely relative chain+loop constraints admit a pitch+z drift
+    # valley the LOCAL solve can escape into exactly like the global one
+    # (docs/PERFORMANCE.md; observed on the tum_loop drift test: loop
+    # closures "satisfied" by sagging the loop interior 0.36 m out of
+    # plane). Mirrors ServerConfig.height_prior_stddev.
+    height_prior_stddev: float = 0.0
     # pointcloud-input path ("merged" integrator, ops/points.py) — None
     # derives a default from the frame integrator's block budget
     point_integrator: Optional["points_ops.PointIntegratorConfig"] = None
@@ -81,6 +89,8 @@ class SubmapCollection:
 class MapperState:
     collection: SubmapCollection
     constraints: pg.RelPoseConstraints   # local pose graph (odometry + loops)
+    heights: pg.HeightConstraints        # absolute z priors (one/submap
+    #                                      when cfg.height_prior_stddev>0)
     frame_count: Array                   # () int32
 
 
@@ -106,6 +116,7 @@ def create_mapper(cfg: MapperConfig) -> MapperState:
     return MapperState(
         collection=create_collection(cfg),
         constraints=pg.RelPoseConstraints.empty(cfg.max_constraints),
+        heights=pg.HeightConstraints.empty(cfg.max_submaps),
         frame_count=jnp.zeros((), jnp.int32),
     )
 
@@ -151,7 +162,13 @@ def start_submap(cfg: MapperConfig, state: MapperState, T_odom_cam: Array,
         lambda c: c,
         state.constraints,
     )
-    return dataclasses.replace(state, collection=col, constraints=constraints)
+    heights = state.heights
+    if cfg.height_prior_stddev > 0:
+        # odom z at creation as an absolute height measurement (mirrors
+        # the server wiring; pins the local pitch+z drift valley)
+        heights = heights.add(k, T_odom_cam[6], cfg.height_prior_stddev)
+    return dataclasses.replace(state, collection=col,
+                               constraints=constraints, heights=heights)
 
 
 def integrate_impl(cfg: MapperConfig, state: MapperState, depth: Array,
@@ -398,9 +415,12 @@ class HostMapper:
 def optimize_local(cfg: MapperConfig, state: MapperState,
                    solver_cfg: pg.SolverConfig = pg.SolverConfig()) -> MapperState:
     """Run the local pose graph over submap poses (voxgraph's per-submap
-    PGO; constraints = odometry chain + any added loop closures)."""
+    PGO; constraints = odometry chain + any added loop closures, plus
+    absolute height priors when cfg.height_prior_stddev > 0)."""
     res = pg.optimize(state.collection.T_odom_submap, state.constraints,
-                      solver_cfg)
+                      solver_cfg,
+                      heights=(state.heights
+                               if cfg.height_prior_stddev > 0 else None))
     col = dataclasses.replace(state.collection, T_odom_submap=res.poses)
     return dataclasses.replace(state, collection=col)
 
