@@ -211,28 +211,51 @@ def integrate_batch(cfg: MapperConfig, state: MapperState, depths: Array,
                     colors: Optional[Array], T_odom_cams: Array,
                     ts: Array) -> MapperState:
     """Integrate a window of F frames into the CURRENT active submap in a
-    single dispatch (lax.scan over frames). On a remote-attached TPU this
-    amortizes the per-dispatch tunnel round trip across the window; the
-    result is bit-identical to F sequential integrate() calls. Submap
-    rollover must be handled by the caller between windows (HostMapper
-    splits windows at rollover times, which it knows host-side)."""
-    def body(s, frame):
-        if colors is None:
-            d, T, t = frame
-            c = None
-        else:
-            d, c, T, t = frame
-        return integrate_impl(cfg, s, d, c, T, t), None
+    single dispatch. On a remote-attached TPU this amortizes the
+    per-dispatch tunnel round trip across the window; the result is
+    numerically equivalent to F sequential integrate() calls (identical
+    update math — only pixels on projection rounding boundaries may
+    sample one pixel apart across the differing program structures).
+    Submap rollover
+    must be handled by the caller between windows (HostMapper splits
+    windows at rollover times, which it knows host-side).
 
+    The voxel work runs through the windowed working-set path
+    (tsdf_ops.integrate_window_stacked_impl — the window's touched-row
+    union is gathered/scattered ONCE instead of per frame); the small
+    per-frame bookkeeping (histories, timestamps) stays a scan."""
     if colors is not None and colors.shape[-1] == 3:
-        # hoist the interleaved→planar color relayout out of the scan:
-        # done per frame inside the body it costs ~0.24 ms/frame on chip
+        # hoist the interleaved→planar color relayout out of the window:
+        # done per frame it costs ~0.24 ms/frame on chip
         # (build_atlases accepts planar (3,H,W) directly)
         colors = jnp.moveaxis(colors, -1, 1)
-    xs = ((depths, T_odom_cams, ts) if colors is None
-          else (depths, colors, T_odom_cams, ts))
-    state, _ = jax.lax.scan(body, state, xs)
-    return state
+
+    col = state.collection
+    k = col.active
+    T_sm_cams = jax.vmap(
+        lambda T: geo.relative(col.T_odom_submap[k], T))(T_odom_cams)
+    layers = tsdf_ops.integrate_window_stacked_impl(
+        cfg.spec, cfg.integrator, cfg.intrinsics, col.layers, k, depths,
+        colors, T_sm_cams)
+    col = dataclasses.replace(col, layers=layers)
+
+    # per-frame bookkeeping (small arrays): identical to F sequential
+    # integrate() calls, including the saturating history append
+    def body(c_, fr):
+        T_sm, t = fr
+        h = jnp.minimum(c_.hist_count[k], cfg.max_history - 1)
+        return dataclasses.replace(
+            c_,
+            end_time=c_.end_time.at[k].set(t, mode="drop"),
+            hist_stamps=c_.hist_stamps.at[k, h].set(t, mode="drop"),
+            hist_poses=c_.hist_poses.at[k, h].set(T_sm, mode="drop"),
+            hist_count=c_.hist_count.at[k].set(h + 1, mode="drop"),
+        ), None
+
+    col, _ = jax.lax.scan(body, col, (T_sm_cams, ts))
+    return dataclasses.replace(
+        state, collection=col,
+        frame_count=state.frame_count + depths.shape[0])
 
 
 def _point_cfg(cfg: MapperConfig) -> "points_ops.PointIntegratorConfig":

@@ -31,12 +31,17 @@ results (hi + lo ≈ 0.1 mm at 10 m); color channels are single bf16
 planes (exact to ±1 LSB above 128 — ≤0.4% — since each channel is
 selected separately, no packed-integer exactness is needed).
 
-Per grid step the kernel processes GROUP=8 blocks; the per-block loop
-only does one-hot builds + the stacked matmul + row-select, merging each
-block's selected values into (GROUP, v3) accumulators; the TSDF
-running-average update then applies vectorized over all GROUP rows. Pool
-rows are gathered/scattered XLA-side (row DMA is fast there); color
-arrives in PLANAR channel layout so every in-kernel slice is static.
+Per grid step the kernel processes GROUP=8 blocks with the (j, s)
+loops fully STATICALLY unrolled; the voxel axis lives as (rows, lanes) =
+block_row_shape(v3) 3-D slabs — a tile-aligned shape whose single-block
+rows are legal Mosaic DMA units — and each block's result rows DMA
+straight onto their row of the window's WORKING SET (in-place aliased
+output). The flat (R, v3) pools are gathered into / scattered out of
+that working set ONCE PER WINDOW by the caller
+(ops/tsdf._integrate_window_pallas): per-frame XLA row scatters into the
+sublane-interleaved pool layout were 24 ms of a 66 ms 30-frame window
+(round-3 trace — docs/PERFORMANCE.md). Color arrives in PLANAR channel
+layout so every in-kernel slice is static.
 """
 
 from __future__ import annotations
@@ -143,122 +148,6 @@ def build_atlases(intr: PinholeIntrinsics, depth: Array,
     return atlas
 
 
-def _kernel(spec: vx.VoxelGridSpec, cfg, intr: PinholeIntrinsics,
-            # scalar prefetch
-            params_ref,
-            # tensor inputs (coords/tiles ride in VMEM blocks — K can be
-            # thousands, which would overflow SMEM as scalar prefetch)
-            coords_ref, tiles_ref, atlas_ref,
-            sdf_ref, w_ref, c_ref,
-            # outputs
-            out_sdf_ref, out_w_ref, out_c_ref):
-    v = spec.voxels_per_side
-    v3 = v * v * v
-    tau = spec.truncation
-    vs = spec.voxel_size
-    P = params_ref
-    fx, fy, cxp, cyp = P[12], P[13], P[14], P[15]
-
-    # ---- per-voxel lattice: (1, v3) lane vectors (hoisted, static) --------
-    idx = jax.lax.broadcasted_iota(jnp.int32, (1, v3), 1)
-    ix = idx // (v * v)
-    iy = (idx // v) % v
-    iz = idx % v
-
-    # ---- per-block scalars as (GROUP, 1) sublane columns ------------------
-    BX = coords_ref[:, 0:1]
-    BY = coords_ref[:, 1:2]
-    BZ = coords_ref[:, 2:3]
-    LVL = tiles_ref[:, 0:1]
-    V0 = tiles_ref[:, 2:3]
-    U0 = tiles_ref[:, 3:4]
-    ALIVE = tiles_ref[:, 4:5] > 0
-
-    # ---- projection for ALL GROUP blocks at once: (GROUP, v3) -------------
-    # (full sublane utilization — per-block (v3,) vectors run 8x slower)
-    px = (BX * v + ix).astype(jnp.float32) * vs + 0.5 * vs
-    py = (BY * v + iy).astype(jnp.float32) * vs + 0.5 * vs
-    pz = (BZ * v + iz).astype(jnp.float32) * vs + 0.5 * vs
-    cx_ = P[0] * px + P[1] * py + P[2] * pz + P[9]
-    cy_ = P[3] * px + P[4] * py + P[5] * pz + P[10]
-    Z = P[6] * px + P[7] * py + P[8] * pz + P[11]
-    zs = jnp.maximum(Z, 1e-6)
-    uf = jnp.clip(cx_ / zs * fx + cxp, -1e6, 1e6)
-    vf = jnp.clip(cy_ / zs * fy + cyp, -1e6, 1e6)
-    ui = jnp.round(uf).astype(jnp.int32)
-    vi = jnp.round(vf).astype(jnp.int32)
-    IN = ((Z > cfg.min_range)
-          & (ui >= 0) & (ui < intr.width)
-          & (vi >= 0) & (vi < intr.height) & ALIVE)
-    LU = jnp.where(IN, (ui >> LVL) - U0, -1)      # pixel col in tile
-    LV = jnp.where(IN, (vi >> LVL) - V0, -1)      # pixel row in tile
-
-    # ---- per-block transposed one-hot selects -----------------------------
-    sub_w = jax.lax.broadcasted_iota(jnp.int32, (TILE_W, v3), 0)
-    th = getattr(cfg, "tile_h", TILE_H)
-    sub_h = jax.lax.broadcasted_iota(jnp.int32, (1, th, v3), 1)
-    rowsel = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0)
-
-    def body(j, acc):
-        D, CR, CG, CB = acc
-        hit = rowsel == j                                    # (GROUP,1)
-        lu_j = jnp.sum(jnp.where(hit, LU, 0), axis=0, keepdims=True)
-        lv_j = jnp.sum(jnp.where(hit, LV, 0), axis=0, keepdims=True)
-        row0 = pl.multiple_of(tiles_ref[j, 1], 8)
-        col0 = pl.multiple_of(tiles_ref[j, 3], 128)
-        tile = jnp.concatenate(
-            [atlas_ref[p, pl.ds(row0, th), pl.ds(col0, TILE_W)]
-             for p in range(PLANES)], axis=0)      # (PLANES·Th, Tw) bf16
-        # one-hots built directly transposed: sublane iota vs lane vector
-        ohuT = (sub_w == lu_j).astype(jnp.bfloat16)          # (Tw, v3)
-        ohvT = (sub_h == lv_j[None]).astype(jnp.float32)     # (1, Th, v3)
-        cand = jax.lax.dot_general(
-            tile, ohuT, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)    # (PLANES·Th, v3)
-        sel5 = jnp.sum(cand.reshape(PLANES, th, v3) * ohvT, axis=1)
-        hitf = hit.astype(jnp.float32)
-        D = D + (sel5[0] + sel5[1])[None, :] * hitf
-        CR = CR + sel5[2][None, :] * hitf
-        CG = CG + sel5[3][None, :] * hitf
-        CB = CB + sel5[4][None, :] * hitf
-        return D, CR, CG, CB
-
-    zeros = jnp.zeros((GROUP, v3), jnp.float32)
-    D, CR, CG, CB = jax.lax.fori_loop(0, GROUP, body,
-                                      (zeros, zeros, zeros, zeros))
-
-    # ---- vectorized TSDF update over all GROUP rows ------------------------
-    has_depth = IN & (D > cfg.min_range) & (D < cfg.max_range)
-    sdf = D - Z
-    observed = has_depth & (sdf > -tau)
-    w_obs = jnp.ones_like(sdf)
-    if cfg.use_distance_weight:
-        w_obs = w_obs / jnp.maximum(D * D, 1.0)
-    if cfg.use_dropoff:
-        w_obs = w_obs * jnp.clip((sdf + tau) / (0.5 * tau), 0.0, 1.0)
-    w_obs = jnp.where(observed, w_obs, 0.0)
-    sdf_obs = jnp.clip(sdf, -tau, tau)
-
-    old_sdf = sdf_ref[...]
-    old_w = w_ref[...]
-    new_w = jnp.minimum(old_w + w_obs, cfg.max_weight)
-    denom = jnp.maximum(new_w, 1e-9)
-    new_sdf = jnp.where(new_w > 0,
-                        (old_w * old_sdf + w_obs * sdf_obs) / denom,
-                        old_sdf)
-    out_sdf_ref[...] = new_sdf
-    out_w_ref[...] = new_w
-
-    # color (PLANAR rows: [r(v3), g(v3), b(v3)]): weighted-average near
-    # the surface; channels were selected separately (no unpacking)
-    near = w_obs * (jnp.abs(sdf) < tau)
-    for ch, img_ch in enumerate((CR, CG, CB)):
-        oc = c_ref[:, ch * v3:(ch + 1) * v3]
-        nc = jnp.where(new_w > 0,
-                       (old_w * oc + near * (img_ch / 255.0)) / denom, oc)
-        out_c_ref[:, ch * v3:(ch + 1) * v3] = nc
-
-
 def compute_tile_specs(spec: vx.VoxelGridSpec, cfg,
                        intr: PinholeIntrinsics, coords: Array, mask: Array,
                        params: Array) -> Array:
@@ -306,61 +195,234 @@ def compute_tile_specs(spec: vx.VoxelGridSpec, cfg,
                       mask.astype(jnp.int32)], axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# Working-set kernel: 3-D voxel axis + in-kernel row DMA (round 3)
+# ---------------------------------------------------------------------------
+
+
+def block_row_shape(v3: int) -> Tuple[int, int]:
+    """(rows, lanes) of one block's voxels in the tile-aligned working
+    layout: lanes = max(128, v3/8) so a row group is whole (8,128) tiles
+    and a single block is a legal DMA unit (a flat (R, v3) pool row is
+    sublane-interleaved across 32 lane-tiles and is NOT — Mosaic rejects
+    the slice; docs/PERFORMANCE.md round-3)."""
+    L = max(128, v3 // 8)
+    assert v3 % L == 0 and v3 >= 128, f"v3={v3} too small for the kernel"
+    return v3 // L, L
+
+
+def _kernel_ws(spec: vx.VoxelGridSpec, cfg, intr: PinholeIntrinsics,
+               # scalar prefetch: params (16,), target working rows (K,)
+               params_ref, rows_ref,
+               # blocked tensor inputs
+               coords_ref, tiles_ref, atlas_ref,
+               old_sdf_ref, old_w_ref, old_c_ref,
+               # working arrays (ANY/HBM; aliased to the outputs; never
+               # read — old values arrive pre-gathered above)
+               ws_sdf_in, ws_w_in, ws_c_in,
+               # outputs = the working arrays, written row-wise by DMA
+               out_sdf_ref, out_w_ref, out_c_ref,
+               # VMEM scratch + DMA semaphores
+               sdf_s, w_s, c_s, sems):
+    """One grid step = GROUP blocks, fully STATICALLY unrolled (j, s):
+    per block, per sub-row, one (PLANES·th, TILE_W) @ (TILE_W, L) one-hot
+    fetch matmul + row select; the TSDF update runs per block on
+    (1, R, L) slabs (R sublanes — full vregs); each block's result rows
+    DMA straight onto their working-set row. Compute math is identical
+    to the flat kernel (bit-exact results)."""
+    v = spec.voxels_per_side
+    v3 = v * v * v
+    R, L = block_row_shape(v3)
+    tau = spec.truncation
+    vs = spec.voxel_size
+    P = params_ref
+    fx, fy, cxp, cyp = P[12], P[13], P[14], P[15]
+    th = getattr(cfg, "tile_h", TILE_H)
+    i = pl.program_id(0)
+
+    # per-voxel lattice over one block: (1, R, L)
+    sidx = jax.lax.broadcasted_iota(jnp.int32, (1, R, L), 1)
+    lidx = jax.lax.broadcasted_iota(jnp.int32, (1, R, L), 2)
+    idx = sidx * L + lidx
+    ix = idx // (v * v)
+    iy = (idx // v) % v
+    iz = idx % v
+
+    sub_w = jax.lax.broadcasted_iota(jnp.int32, (TILE_W, L), 0)
+    sub_h = jax.lax.broadcasted_iota(jnp.int32, (1, th, L), 1)
+
+    copies = []
+    for j in range(GROUP):
+        bx = coords_ref[j, 0]
+        by = coords_ref[j, 1]
+        bz = coords_ref[j, 2]
+        lvl = tiles_ref[j, 0]
+        v0 = tiles_ref[j, 2]
+        u0 = tiles_ref[j, 3]
+        alive = tiles_ref[j, 4] > 0
+
+        # ---- projection of this block's voxels: (1, R, L) -------------
+        px = (bx * v + ix).astype(jnp.float32) * vs + 0.5 * vs
+        py = (by * v + iy).astype(jnp.float32) * vs + 0.5 * vs
+        pz = (bz * v + iz).astype(jnp.float32) * vs + 0.5 * vs
+        cx_ = P[0] * px + P[1] * py + P[2] * pz + P[9]
+        cy_ = P[3] * px + P[4] * py + P[5] * pz + P[10]
+        Z = P[6] * px + P[7] * py + P[8] * pz + P[11]
+        zs = jnp.maximum(Z, 1e-6)
+        uf = jnp.clip(cx_ / zs * fx + cxp, -1e6, 1e6)
+        vf = jnp.clip(cy_ / zs * fy + cyp, -1e6, 1e6)
+        ui = jnp.round(uf).astype(jnp.int32)
+        vi = jnp.round(vf).astype(jnp.int32)
+        IN = ((Z > cfg.min_range)
+              & (ui >= 0) & (ui < intr.width)
+              & (vi >= 0) & (vi < intr.height) & alive)
+        LU = jnp.where(IN, (ui >> lvl) - u0, -1)
+        LV = jnp.where(IN, (vi >> lvl) - v0, -1)
+
+        # ---- one-hot fetch, one matmul per sub-row ---------------------
+        row0 = pl.multiple_of(tiles_ref[j, 1], 8)
+        col0 = pl.multiple_of(tiles_ref[j, 3], 128)
+        tile = jnp.concatenate(
+            [atlas_ref[p, pl.ds(row0, th), pl.ds(col0, TILE_W)]
+             for p in range(PLANES)], axis=0)      # (PLANES·th, Tw) bf16
+        drows, crrows, cgrows, cbrows = [], [], [], []
+        for s in range(R):
+            lu_s = LU[:, s, :]                     # (1, L)
+            lv_s = LV[:, s, :]
+            ohuT = (sub_w == lu_s).astype(jnp.bfloat16)       # (Tw, L)
+            ohvT = (sub_h == jnp.expand_dims(lv_s, 1)
+                    ).astype(jnp.float32)                     # (1, th, L)
+            cand = jax.lax.dot_general(
+                tile, ohuT, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)   # (PLANES·th, L)
+            sel5 = jnp.sum(cand.reshape(PLANES, th, L) * ohvT,
+                           axis=1)                    # (PLANES, L)
+            drows.append(sel5[0:1] + sel5[1:2])
+            crrows.append(sel5[2:3])
+            cgrows.append(sel5[3:4])
+            cbrows.append(sel5[4:5])
+        D = jnp.concatenate(drows, axis=0)[None]      # (1, R, L)
+        CR = jnp.concatenate(crrows, axis=0)[None]
+        CG = jnp.concatenate(cgrows, axis=0)[None]
+        CB = jnp.concatenate(cbrows, axis=0)[None]
+
+        # ---- TSDF update for this block: (1, R, L) ---------------------
+        has_depth = IN & (D > cfg.min_range) & (D < cfg.max_range)
+        sdf = D - Z
+        observed = has_depth & (sdf > -tau)
+        w_obs = jnp.ones_like(sdf)
+        if cfg.use_distance_weight:
+            w_obs = w_obs / jnp.maximum(D * D, 1.0)
+        if cfg.use_dropoff:
+            w_obs = w_obs * jnp.clip((sdf + tau) / (0.5 * tau), 0.0, 1.0)
+        w_obs = jnp.where(observed, w_obs, 0.0)
+        sdf_obs = jnp.clip(sdf, -tau, tau)
+
+        old_sdf = old_sdf_ref[j:j + 1]                # (1, R, L)
+        old_w = old_w_ref[j:j + 1]
+        new_w = jnp.minimum(old_w + w_obs, cfg.max_weight)
+        denom = jnp.maximum(new_w, 1e-9)
+        new_sdf = jnp.where(new_w > 0,
+                            (old_w * old_sdf + w_obs * sdf_obs) / denom,
+                            old_sdf)
+        sdf_s[j:j + 1] = new_sdf
+        w_s[j:j + 1] = new_w
+
+        near = w_obs * (jnp.abs(sdf) < tau)
+        for ch, img_ch in enumerate((CR, CG, CB)):
+            oc = old_c_ref[j:j + 1, ch]               # (1, R, L)
+            nc = jnp.where(new_w > 0,
+                           (old_w * oc + near * (img_ch / 255.0)) / denom,
+                           oc)
+            c_s[j:j + 1, ch] = nc
+
+        # ---- DMA this block's rows onto its working-set row ------------
+        row = rows_ref[i * GROUP + j]
+        for t, (src, dst) in enumerate(((sdf_s, out_sdf_ref),
+                                        (w_s, out_w_ref),
+                                        (c_s, out_c_ref))):
+            cp = pltpu.make_async_copy(src.at[pl.ds(j, 1)],
+                                       dst.at[pl.ds(row, 1)],
+                                       sems.at[j, t])
+            cp.start()
+            copies.append(cp)
+    for cp in copies:
+        cp.wait()
+
+
 @functools.partial(jax.jit,
                    static_argnames=("spec", "cfg", "intr", "interpret"))
-def tsdf_update_blocks(spec: vx.VoxelGridSpec, cfg, intr: PinholeIntrinsics,
-                       coords: Array, tiles: Array, params: Array,
-                       atlas: Array,
-                       old_sdf: Array, old_w: Array, old_c_planar: Array,
-                       interpret: bool = False):
-    """Run the block-update kernel over K touched blocks.
+def tsdf_update_blocks_ws(spec: vx.VoxelGridSpec, cfg,
+                          intr: PinholeIntrinsics,
+                          coords: Array, tiles: Array, rows: Array,
+                          params: Array, atlas: Array,
+                          ws_sdf: Array, ws_w: Array, ws_c: Array,
+                          old_sdf: Array, old_w: Array, old_c: Array,
+                          interpret: bool = False):
+    """Working-set block update: results land IN PLACE on the (U, R, L)
+    working arrays (aliased outputs, row DMA per block).
 
-    coords (K,3) int32 block coords; tiles (K,5) from compute_tile_specs;
-    params (16,) f32 = [R row-major(9), t(3), fx, fy, cx, cy];
-    atlas (PLANES, rows, aw) bf16 from build_atlases;
-    old_sdf/old_w (K, v3); old_c_planar (K, 3*v3) channel-major.
-    → (new_sdf, new_w, new_c_planar).
-    """
+    coords (K,3); tiles (K,5); rows (K,) target working-set rows (dead
+    blocks FIRST — their clamped targets are overwritten by any later
+    live update of the same row); params (16,); atlas from
+    build_atlases; ws_sdf/ws_w (U, R, L), ws_c (U, 3, R, L);
+    old_sdf/old_w (K, R, L), old_c (K, 3, R, L) = the pre-gathered
+    working rows at ``rows`` (dead blocks rewrite their own old values —
+    a no-op). → (ws_sdf, ws_w, ws_c) updated."""
     K = coords.shape[0]
     assert K % GROUP == 0, f"K must be a multiple of {GROUP}"
     v3 = spec.voxels_per_side ** 3
+    R, L = block_row_shape(v3)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(K // GROUP,),
         in_specs=[
-            pl.BlockSpec((GROUP, 3), lambda i, p: (i, 0),
+            pl.BlockSpec((GROUP, 3), lambda i, p, r: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, 5), lambda i, p: (i, 0),
+            pl.BlockSpec((GROUP, 5), lambda i, p, r: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(atlas.shape, lambda i, p: (0, 0, 0),
+            pl.BlockSpec(atlas.shape, lambda i, p, r: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, v3), lambda i, p: (i, 0),
+            pl.BlockSpec((GROUP, R, L), lambda i, p, r: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, v3), lambda i, p: (i, 0),
+            pl.BlockSpec((GROUP, R, L), lambda i, p, r: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, v3 * 3), lambda i, p: (i, 0),
+            pl.BlockSpec((GROUP, 3, R, L), lambda i, p, r: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
+            # working buffers: aliased to the outputs, never read here
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((GROUP, v3), lambda i, p: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, v3), lambda i, p: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, v3 * 3), lambda i, p: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((GROUP, R, L), jnp.float32),
+            pltpu.VMEM((GROUP, R, L), jnp.float32),
+            pltpu.VMEM((GROUP, 3, R, L), jnp.float32),
+            pltpu.SemaphoreType.DMA((GROUP, 3)),
         ],
     )
-    kern = functools.partial(_kernel, spec, cfg, intr)
+    kern = functools.partial(_kernel_ws, spec, cfg, intr)
+    U = ws_sdf.shape[0]
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         out_shape=[
-            jax.ShapeDtypeStruct((K, v3), jnp.float32),
-            jax.ShapeDtypeStruct((K, v3), jnp.float32),
-            jax.ShapeDtypeStruct((K, v3 * 3), jnp.float32),
+            jax.ShapeDtypeStruct((U, R, L), jnp.float32),
+            jax.ShapeDtypeStruct((U, R, L), jnp.float32),
+            jax.ShapeDtypeStruct((U, 3, R, L), jnp.float32),
         ],
+        # operand indices INCLUDE the scalar-prefetch args: the working
+        # buffers are operands 8/9/10 of (params, rows, coords, tiles,
+        # atlas, old_sdf, old_w, old_c, ws_sdf, ws_w, ws_c)
+        input_output_aliases={8: 0, 9: 1, 10: 2},
         interpret=interpret,
-    )(params, coords, tiles, atlas, old_sdf, old_w, old_c_planar)
+    )(params, rows, coords, tiles, atlas, old_sdf, old_w, old_c,
+      ws_sdf, ws_w, ws_c)

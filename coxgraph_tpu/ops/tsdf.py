@@ -14,8 +14,12 @@ inside one jit:
      gather unit).
   2. **Update** — for the ≤ max_touched_blocks touched blocks, project all
      16³ voxel centers into the frame at once (lane-parallel on the VPU),
-     gather depths, and apply the weighted running-average TSDF update as
-     a row scatter back into the pool.
+     gather depths, and apply the weighted running-average TSDF update.
+     On the Pallas path a WINDOW of frames shares one compact
+     tile-aligned working set of the union of touched rows, gathered and
+     scattered once per window (integrate_window_stacked_impl) with the
+     kernel row-DMA-ing results in place; the XLA path scatters rows
+     back per frame.
 
 The canonical implementation is `integrate_frame_stacked_impl`, which
 operates on a stacked submap collection (leading (S,) axis on every leaf)
@@ -70,6 +74,13 @@ class TsdfIntegratorConfig:
     #  MXU contractions on a stride-pyramid tile (ops/pallas_tsdf.py);
     #  blocks whose pixel bbox exceeds the tile window sample depth at
     #  stride 2^l — the voxblox "fast" integrator's subsampled-ray trade.
+    window_union_blocks: int = 1024  # working-set capacity of the
+    #  windowed (integrate_batch) kernel path: the UNION of all frames'
+    #  touched blocks lives in a compact tile-aligned array for the
+    #  whole window (consecutive frames re-touch ~90% of the same
+    #  blocks), gathered once and scattered back once instead of per
+    #  frame. Blocks beyond capacity lose their updates for that window
+    #  (size it ≥ the scene's visible-block count).
     tile_h: int = 48  # kernel tile-window rows (multiple of 8). Sets the
     #  one-hot matmul's row count 5·tile_h: 48 → 240 rows = 2 systolic
     #  passes (64 → 320 = 3 passes, ~35% more MXU time) and shrinks the
@@ -209,16 +220,33 @@ def integrate_frame_stacked_impl(spec: vx.VoxelGridSpec,
     depth: (H,W) z-depth (0 = invalid); color: (H,W,3) in [0,1] or None;
     T_sm_cam: (7,) camera pose in the submap frame; k: () int32.
     """
-    S = layers.sdf.shape[0]
+    use_pallas = cfg.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        # single-frame window through the working-set kernel path
+        c = None if color is None else color[None]
+        return integrate_window_stacked_impl(
+            spec, cfg, intr, layers, k, depth[None], c, T_sm_cam[None])
+
+    layers, slots, slot_mask, bc_k = _alloc_pass(spec, cfg, intr, layers,
+                                                 k, depth, T_sm_cam)
+    return _update_xla(spec, cfg, intr, layers, k * spec.max_blocks, bc_k,
+                       slots, slot_mask, depth, color,
+                       geo.inverse(T_sm_cam))
+
+
+def _alloc_pass(spec: vx.VoxelGridSpec, cfg: TsdfIntegratorConfig,
+                intr: PinholeIntrinsics, layers: vx.TsdfLayer, k: Array,
+                depth: Array, T_sm_cam: Array):
+    """Pass 1 for one frame on the stacked collection: allocate the
+    blocks the frame's truncation band touches and compact the touched
+    slots. → (layers', slots (K,) clamped, slot_mask (K,), bc_k (mb,3))."""
     mb = spec.max_blocks
     g3 = spec.grid_dim ** 3
-    v = spec.voxels_per_side
-    base = k * mb
 
-    # ---- pass 1: allocation (small arrays only, SoA layout) ---------------
     grid_slots, cand_valid = _alloc_candidates_soa(spec, cfg, intr, depth,
                                                    T_sm_cam)
-
     K = min(cfg.max_touched_blocks, mb)
     bi_k, bc_k, nb_k, slots, slot_mask = vx.allocate_and_slots(
         spec, layers.block_index[k].reshape(g3), layers.block_coords[k],
@@ -243,67 +271,156 @@ def integrate_frame_stacked_impl(spec: vx.VoxelGridSpec,
                 raise AssertionError(
                     "allocate_and_slots returned duplicate mask-True slots")
         jax.debug.callback(_assert_unique, slots, slot_mask)
+    return layers, slots, slot_mask, bc_k
 
-    # ---- pass 2: voxel update ---------------------------------------------
-    T_cam_sm = geo.inverse(T_sm_cam)
+
+def integrate_window_stacked_impl(spec: vx.VoxelGridSpec,
+                                  cfg: TsdfIntegratorConfig,
+                                  intr: PinholeIntrinsics,
+                                  layers: vx.TsdfLayer, k: Array,
+                                  depths: Array, colors: Optional[Array],
+                                  T_sm_cams: Array) -> vx.TsdfLayer:
+    """Integrate a WINDOW of F frames into submap ``k`` of a stacked
+    collection. On the Pallas path the window shares one compact
+    tile-aligned working set: per-frame allocation runs first (scan),
+    then the UNION of all touched rows is gathered ONCE, every frame's
+    kernel reads from and row-DMAs back into the working arrays, and one
+    scatter lands the union back in the pools — consecutive frames touch
+    ~90% the same blocks, and the per-frame pool row scatters were 24 ms
+    of a 66 ms 30-frame window on the v5e (round-3 trace,
+    docs/PERFORMANCE.md). The update math is identical to F sequential
+    frame integrations (differences are confined to projection rounding
+    boundaries across program structures).
+    colors: (F,H,W,3) | (F,3,H,W) | None."""
     use_pallas = cfg.use_pallas
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
-        return _update_pallas(spec, cfg, intr, layers, base, bc_k, slots,
-                              slot_mask, depth, color, T_cam_sm)
-    return _update_xla(spec, cfg, intr, layers, base, bc_k, slots,
-                       slot_mask, depth, color, T_cam_sm)
+    if not use_pallas:
+        def body(lay, fr):
+            if colors is None:
+                d, T = fr
+                c = None
+            else:
+                d, c, T = fr
+            lay, slots, mask, bc_k = _alloc_pass(spec, cfg, intr, lay, k,
+                                                 d, T)
+            return _update_xla(spec, cfg, intr, lay, k * spec.max_blocks,
+                               bc_k, slots, mask, d, c,
+                               geo.inverse(T)), None
+        xs = ((depths, T_sm_cams) if colors is None
+              else (depths, colors, T_sm_cams))
+        layers, _ = jax.lax.scan(body, layers, xs)
+        return layers
+    return _integrate_window_pallas(spec, cfg, intr, layers, k, depths,
+                                    colors, T_sm_cams)
 
 
-def _update_pallas(spec, cfg, intr, layers, base, bc_k, slots, slot_mask,
-                   depth, color, T_cam_sm):
-    """Voxel update via the Pallas block kernel (ops/pallas_tsdf.py):
-    gather the touched pool rows, run the kernel, scatter rows back."""
+def _integrate_window_pallas(spec: vx.VoxelGridSpec,
+                             cfg: TsdfIntegratorConfig,
+                             intr: PinholeIntrinsics,
+                             layers: vx.TsdfLayer, k: Array,
+                             depths: Array, colors: Optional[Array],
+                             T_sm_cams: Array) -> vx.TsdfLayer:
     from . import pallas_tsdf
 
     S = layers.sdf.shape[0]
     mb = spec.max_blocks
     v3 = spec.voxels_per_side ** 3
-    K = slots.shape[0]
-    pad = (-K) % pallas_tsdf.GROUP
-    if pad:
-        slots = jnp.pad(slots, (0, pad))
-        slot_mask = jnp.pad(slot_mask, (0, pad))
-        K += pad
+    R, L = pallas_tsdf.block_row_shape(v3)
+    F = depths.shape[0]
+    base = k * mb
+    K = min(cfg.max_touched_blocks, mb)
+    K8 = K + ((-K) % pallas_tsdf.GROUP)
+    U = min(cfg.window_union_blocks, mb, F * K8)
 
-    atlas = pallas_tsdf.build_atlases(intr, depth, color)
-    R = geo.quat_to_matrix(T_cam_sm[:4])
-    params = jnp.concatenate([
-        R.reshape(9), T_cam_sm[4:7],
-        jnp.asarray([intr.fx, intr.fy, intr.cx, intr.cy], jnp.float32)])
+    # ---- per-frame allocation (small arrays only) ----------------------
+    def alloc_body(lay, fr):
+        d, T = fr
+        lay, slots, mask, bc_k = _alloc_pass(spec, cfg, intr, lay, k, d, T)
+        return lay, (slots, mask, bc_k[slots])
+    layers, (slots_f, mask_f, coords_f) = jax.lax.scan(
+        alloc_body, layers, (depths, T_sm_cams))
+    if K8 != K:
+        slots_f = jnp.pad(slots_f, ((0, 0), (0, K8 - K)))
+        mask_f = jnp.pad(mask_f, ((0, 0), (0, K8 - K)))
+        coords_f = jnp.pad(coords_f, ((0, 0), (0, K8 - K), (0, 0)))
+    # DEAD blocks first within each frame (compaction puts them at the
+    # tail): the kernel writes every grid step's row in place, and a
+    # live update of a shared row must land after any dead write-through
+    slots_f = jnp.flip(slots_f, axis=1)
+    mask_f = jnp.flip(mask_f, axis=1)
+    coords_f = jnp.flip(coords_f, axis=1)
 
+    # ---- window union of touched slots ---------------------------------
+    flat = jnp.where(mask_f, slots_f, mb).reshape(-1)
+    bitmap = jnp.zeros((mb,), jnp.bool_).at[flat].set(True, mode="drop")
+    pos = jnp.cumsum(bitmap.astype(jnp.int32)) - 1
+    selected = bitmap & (pos < U)
+    all_slots = jnp.arange(mb, dtype=jnp.int32)
+    union_slots = jnp.full((U,), mb, jnp.int32).at[
+        jnp.where(selected, pos, U)].set(all_slots, mode="drop")
+    union_valid = union_slots < mb
+    union_slots_c = jnp.minimum(union_slots, mb - 1)
+    # slot → working row; row U is a DUMMY row for dead blocks and (on
+    # union overflow) dropped blocks — their updates are lost for this
+    # window (size cfg.window_union_blocks to the scene)
+    inv = jnp.full((mb,), U, jnp.int32).at[
+        jnp.where(selected, all_slots, mb)].set(pos, mode="drop")
+    wrows_f = jnp.where(mask_f, inv[slots_f], U).astype(jnp.int32)
+
+    # ---- working set: gather the union once, tile-aligned rows ---------
     sdf_pool = layers.sdf.reshape(S * mb, v3)
     w_pool = layers.weight.reshape(S * mb, v3)
-    c_pool = layers.color.reshape(S * mb, 3 * v3)   # planar pool: free view
-    rows = jnp.minimum(base + slots, S * mb - 1)
-    old_sdf = sdf_pool[rows]                               # (K, v³)
-    old_w = w_pool[rows]
-    old_c_planar = c_pool[rows]                            # (K, 3·v³)
-    coords = bc_k[slots]
+    c_pool = layers.color.reshape(S * mb, 3 * v3)
+    urows = jnp.minimum(base + union_slots_c, S * mb - 1)
+    zrow = jnp.zeros((1, v3), sdf_pool.dtype)
+    ws_sdf = jnp.concatenate([sdf_pool[urows], zrow]).reshape(U + 1, R, L)
+    ws_w = jnp.concatenate([w_pool[urows], zrow]).reshape(U + 1, R, L)
+    ws_c = jnp.concatenate([c_pool[urows],
+                            jnp.zeros((1, 3 * v3), c_pool.dtype)]
+                           ).reshape(U + 1, 3, R, L)
 
-    tiles = pallas_tsdf.compute_tile_specs(spec, cfg, intr, coords,
-                                           slot_mask, params)
-    new_sdf, new_w, new_c_planar = pallas_tsdf.tsdf_update_blocks(
-        spec, cfg, intr, coords, tiles, params, atlas,
-        old_sdf, old_w, old_c_planar)
+    # ---- per-frame kernel updates against the working set --------------
+    def upd_body(ws, fr):
+        ws_sdf, ws_w, ws_c = ws
+        if colors is None:
+            d, Tsm, slots_k, mask_k, coords_k, wrows_k = fr
+            c = None
+        else:
+            d, c, Tsm, slots_k, mask_k, coords_k, wrows_k = fr
+        T_cam_sm = geo.inverse(Tsm)
+        Rm = geo.quat_to_matrix(T_cam_sm[:4])
+        params = jnp.concatenate([
+            Rm.reshape(9), T_cam_sm[4:7],
+            jnp.asarray([intr.fx, intr.fy, intr.cx, intr.cy],
+                        jnp.float32)])
+        atlas = pallas_tsdf.build_atlases(intr, d, c)
+        tiles = pallas_tsdf.compute_tile_specs(spec, cfg, intr, coords_k,
+                                               mask_k, params)
+        old_sdf = ws_sdf[wrows_k]
+        old_w = ws_w[wrows_k]
+        old_c = ws_c[wrows_k]
+        ws_sdf, ws_w, ws_c = pallas_tsdf.tsdf_update_blocks_ws(
+            spec, cfg, intr, coords_k, tiles, wrows_k, params, atlas,
+            ws_sdf, ws_w, ws_c, old_sdf, old_w, old_c)
+        return (ws_sdf, ws_w, ws_c), None
 
-    # targets are UNIQUE (compacted touched slots; dropped rows get
-    # distinct out-of-range ids too) — without the unique_indices hint XLA
-    # lowers the row scatter through a duplicate-resolving sort path that
-    # runs at ~50 GB/s; with it the three pool scatters are row DMAs
-    # (measured 0.8 ms/frame → ~0.1 at the bench operating point)
-    tgt = jnp.where(slot_mask, base + slots,
-                    S * mb + jnp.arange(slots.shape[0], dtype=jnp.int32))
-    sdf_out = sdf_pool.at[tgt].set(new_sdf, mode="drop", unique_indices=True)
-    w_out = w_pool.at[tgt].set(new_w, mode="drop", unique_indices=True)
-    c_out = c_pool.at[tgt].set(new_c_planar, mode="drop",
-                               unique_indices=True)
+    xs = ((depths, T_sm_cams, slots_f, mask_f, coords_f, wrows_f)
+          if colors is None
+          else (depths, colors, T_sm_cams, slots_f, mask_f, coords_f,
+                wrows_f))
+    (ws_sdf, ws_w, ws_c), _ = jax.lax.scan(
+        upd_body, (ws_sdf, ws_w, ws_c), xs)
+
+    # ---- one scatter lands the union back ------------------------------
+    tgt = jnp.where(union_valid, base + union_slots_c,
+                    S * mb + jnp.arange(U, dtype=jnp.int32))
+    sdf_out = sdf_pool.at[tgt].set(ws_sdf[:U].reshape(U, v3),
+                                   mode="drop", unique_indices=True)
+    w_out = w_pool.at[tgt].set(ws_w[:U].reshape(U, v3),
+                               mode="drop", unique_indices=True)
+    c_out = c_pool.at[tgt].set(ws_c[:U].reshape(U, 3 * v3),
+                               mode="drop", unique_indices=True)
     return dataclasses.replace(
         layers,
         sdf=sdf_out.reshape(layers.sdf.shape),
@@ -340,7 +457,7 @@ def _update_xla(spec, cfg, intr, layers, base, bc_k, slots, slot_mask,
     def update_chunk(carry, chunk):
         sdf_pool, w_pool, c_pool = carry
         c_slots, c_mask = chunk
-        # unique scatter targets (see _update_pallas): masked rows get
+        # unique scatter targets: masked rows get
         # distinct out-of-range ids so the unique_indices hint holds
         flat_slots = jnp.where(
             c_mask, base + c_slots,

@@ -63,19 +63,34 @@ def test_kernel_matches_xla_update_interpret():
     params = jnp.concatenate([
         R.reshape(9), Tc[4:7],
         jnp.asarray([INTR.fx, INTR.fy, INTR.cx, INTR.cy], jnp.float32)])
-    old = jnp.zeros((64, v3))
-    oldc = jnp.zeros((64, 3 * v3))
+    # dead-first ordering, exactly like the production window glue
+    slots = jnp.flip(slots)
+    mask = jnp.flip(mask)
+    # working set = the whole pool (1 row per slot) + one dummy row for
+    # dead blocks, in the tile-aligned (U+1, R, L) layout
+    R, L = pallas_tsdf.block_row_shape(v3)
+    mb = SPEC.max_blocks
+    rows = jnp.where(mask, slots, mb).astype(jnp.int32)
+    old = jnp.zeros((64, R, L))
+    oldc = jnp.zeros((64, 3, R, L))
     tiles = pallas_tsdf.compute_tile_specs(SPEC, CFG, INTR, bc[slots],
                                            mask, params)
-    new_sdf, new_w, new_cp = pallas_tsdf.tsdf_update_blocks(
-        SPEC, CFG, INTR, bc[slots], tiles, params, atlas,
-        old, jnp.zeros((64, v3)), oldc, interpret=True)
+    ws_sdf = jnp.zeros((mb + 1, R, L))
+    ws_w = jnp.zeros((mb + 1, R, L))
+    ws_c = jnp.zeros((mb + 1, 3, R, L))
+    sdf_out, w_out, _ = pallas_tsdf.tsdf_update_blocks_ws(
+        SPEC, CFG, INTR, bc[slots], tiles, rows, params, atlas,
+        ws_sdf, ws_w, ws_c, old, jnp.zeros((64, R, L)), oldc,
+        interpret=True)
+    sdf_flat = np.asarray(sdf_out[:mb].reshape(mb, v3))
+    w_flat = np.asarray(w_out[:mb].reshape(mb, v3))
 
-    # compare against the XLA integrator's result on the same blocks
-    ref_sdf = np.asarray(lx.sdf.reshape(-1, v3)[slots])
-    ref_w = np.asarray(lx.weight.reshape(-1, v3)[slots])
-    got_sdf = np.asarray(new_sdf)
-    got_w = np.asarray(new_w)
+    # compare against the XLA integrator's result on the same rows
+    crows = np.asarray(jnp.minimum(rows, mb - 1))
+    ref_sdf = np.asarray(lx.sdf.reshape(-1, v3)[crows])
+    ref_w = np.asarray(lx.weight.reshape(-1, v3)[crows])
+    got_sdf = sdf_flat[crows]
+    got_w = w_flat[crows]
     m = np.asarray(mask)
     # weights: identical where both observed (same pixels at level 0)
     both = (ref_w > 0) & (got_w > 0) & m[:, None]
