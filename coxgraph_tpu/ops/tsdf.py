@@ -356,6 +356,20 @@ def _integrate_window_pallas(spec: vx.VoxelGridSpec,
     bitmap = jnp.zeros((mb,), jnp.bool_).at[flat].set(True, mode="drop")
     pos = jnp.cumsum(bitmap.astype(jnp.int32)) - 1
     selected = bitmap & (pos < U)
+    # union saturation is observable, not silent (the fixed-capacity
+    # discipline): overflowing blocks keep integrating into the dummy
+    # row and their updates drop for this window
+    n_union = jnp.sum(bitmap.astype(jnp.int32))
+    if _DEBUG_UNIQUE_SLOTS:
+        def _warn_union(n, cap=U):
+            if int(n) > cap:
+                import warnings
+                warnings.warn(
+                    f"window union {int(n)} blocks > working-set capacity "
+                    f"{cap}: overflowing blocks lose this window's updates "
+                    "— raise TsdfIntegratorConfig.window_union_blocks",
+                    RuntimeWarning, stacklevel=2)
+        jax.debug.callback(_warn_union, n_union)
     all_slots = jnp.arange(mb, dtype=jnp.int32)
     union_slots = jnp.full((U,), mb, jnp.int32).at[
         jnp.where(selected, pos, U)].set(all_slots, mode="drop")

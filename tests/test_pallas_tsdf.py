@@ -103,3 +103,90 @@ def test_kernel_matches_xla_update_interpret():
     iou = ((ref_w > 0) & (got_w > 0)).sum() / max(
         ((ref_w > 0) | (got_w > 0)).sum(), 1)
     assert iou > 0.9, iou
+
+
+def _interpret_ws(monkeypatch):
+    """Route the window glue's kernel through interpret mode so the
+    union/remap/working-set logic runs in CI without a TPU."""
+    import functools
+    real = pallas_tsdf.tsdf_update_blocks_ws
+
+    def fake(*a, **kw):
+        kw["interpret"] = True
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pallas_tsdf, "tsdf_update_blocks_ws", fake)
+
+
+def test_window_working_set_matches_xla(monkeypatch):
+    """The windowed working-set path (union gather → per-frame kernel →
+    one scatter) must agree with the per-frame XLA integrator across a
+    multi-frame window — the union/remap plumbing is exactly what the
+    on-chip bench exercises (round-3 rewrite)."""
+    _interpret_ws(monkeypatch)
+    scene = syn.default_scene()
+    traj = syn.orbit_trajectory(3, scene.room_center, radius=2.5,
+                                sweep=0.3 * jnp.pi)
+    frames = [syn.render_depth(scene, INTR, traj[i]) for i in range(3)]
+    depths = jnp.stack([f[0] for f in frames])
+    colors = jnp.stack([f[1] for f in frames])
+
+    cfg_p = tsdf_ops.TsdfIntegratorConfig(
+        max_touched_blocks=64, use_pallas=True, window_union_blocks=128)
+    cfg_x = tsdf_ops.TsdfIntegratorConfig(
+        max_touched_blocks=64, use_pallas=False)
+
+    def run(cfg):
+        layer = vx.create_tsdf_layer(SPEC)
+        stacked = jax.tree.map(lambda x: x[None], layer)
+        stacked = tsdf_ops.integrate_window_stacked_impl(
+            SPEC, cfg, INTR, stacked, jnp.asarray(0), depths, colors,
+            jnp.stack(list(traj)))
+        return jax.tree.map(lambda x: x[0], stacked)
+
+    lp = run(cfg_p)
+    lx = run(cfg_x)
+    v3 = SPEC.voxels_per_side ** 3
+    wp = np.asarray(lp.weight).reshape(-1, v3)
+    wx = np.asarray(lx.weight).reshape(-1, v3)
+    sp = np.asarray(lp.sdf).reshape(-1, v3)
+    sx = np.asarray(lx.sdf).reshape(-1, v3)
+    both = (wp > 0) & (wx > 0)
+    assert both.sum() > 1000
+    # level-0 tiles at this tiny image → same depth selects; tolerance
+    # covers the bf16 hi/lo split
+    agree = np.abs(sp - sx)[both]
+    assert np.quantile(agree, 0.95) < 5e-3
+    iou = ((wp > 0) & (wx > 0)).sum() / max(((wp > 0) | (wx > 0)).sum(), 1)
+    assert iou > 0.9, iou
+
+
+def test_window_union_overflow_is_contained(monkeypatch):
+    """A window whose touched-block union exceeds
+    window_union_blocks must degrade gracefully: capacity-worth of
+    blocks update, the rest keep their (zero) state, nothing corrupts,
+    and the debug-check mode warns."""
+    import warnings
+
+    _interpret_ws(monkeypatch)
+    monkeypatch.setattr(tsdf_ops, "_DEBUG_UNIQUE_SLOTS", True)
+    scene = syn.default_scene()
+    T = syn.orbit_trajectory(1, scene.room_center, radius=2.5)[0]
+    depth, color = syn.render_depth(scene, INTR, T)
+    cfg = tsdf_ops.TsdfIntegratorConfig(
+        max_touched_blocks=64, use_pallas=True, window_union_blocks=8)
+    layer = vx.create_tsdf_layer(SPEC)
+    stacked = jax.tree.map(lambda x: x[None], layer)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        stacked = tsdf_ops.integrate_window_stacked_impl(
+            SPEC, cfg, INTR, stacked, jnp.asarray(0), depth[None],
+            color[None], T[None])
+        jax.effects_barrier()
+        saturated = [x for x in w if "window union" in str(x.message)]
+    assert saturated, "no union-overflow warning under debug checks"
+    out = jax.tree.map(lambda x: x[0], stacked)
+    wgt = np.asarray(out.weight).reshape(-1, SPEC.voxels_per_side ** 3)
+    updated_rows = (wgt > 0).any(axis=1).sum()
+    assert 0 < updated_rows <= 8            # capacity-bounded updates
+    assert np.isfinite(np.asarray(out.sdf)).all()
