@@ -108,7 +108,6 @@ def test_kernel_matches_xla_update_interpret():
 def _interpret_ws(monkeypatch):
     """Route the window glue's kernel through interpret mode so the
     union/remap/working-set logic runs in CI without a TPU."""
-    import functools
     real = pallas_tsdf.tsdf_update_blocks_ws
 
     def fake(*a, **kw):
