@@ -68,6 +68,57 @@ def _neighbor_offsets(full: bool):
     return np.array(offs, dtype=np.int32)
 
 
+
+AXIS_OFFSETS = ((1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+                (0, 0, 1), (0, 0, -1))
+
+
+def face_neighbor_indices(spec: vx.VoxelGridSpec, block_coords: Array,
+                          flat_index: Array):
+    """{axis offset: (B,) index of the face-neighbor block} (−1 = none),
+    hoisted out of the sweep (the lookups are block-level and static
+    across iterations)."""
+    out = {}
+    for off3 in AXIS_OFFSETS:
+        nb = block_coords + jnp.asarray(off3, jnp.int32)[None]
+        slot = vx.block_grid_slot(spec, nb)
+        out[off3] = jnp.where(vx.block_in_grid(spec, nb),
+                              flat_index[slot], -1)
+    return out
+
+
+def axis_neighbor_field(d_src: Array, d_own: Array, face_idx, off3,
+                        v: int, md: float) -> Array:
+    """Axis-aligned neighbor field via static slice + one FACE-PLANE
+    gather: the per-voxel 4-D gather of the generic path serializes the
+    TPU gather unit (measured 32 s per ESDF build at 534 blocks over the
+    tunnel — 2.2 G randomly-addressed elements across 44 sweeps); a
+    (B, v, v) plane gather per direction is 1/16th the addresses and the
+    rest is a contiguous shift XLA fuses. Bit-identical results.
+    ``d_src`` may be a halo-extended pool (parallel/esdf_sharded) while
+    ``d_own`` is the local slice being swept."""
+    axis = next(a for a, c in enumerate(off3) if c != 0)
+    sign = off3[axis]
+    idx = face_idx[off3]
+    safe = jnp.maximum(idx, 0)
+    pl_i = 0 if sign > 0 else v - 1
+    ax = axis + 1                                  # voxel axis in d
+    # face plane of the neighbor block, (B, v, v)
+    if ax == 1:
+        plane = d_src[safe, pl_i, :, :]
+    elif ax == 2:
+        plane = d_src[safe, :, pl_i, :]
+    else:
+        plane = d_src[safe, :, :, pl_i]
+    plane = jnp.where((idx >= 0)[:, None, None], plane, md)
+    plane = jnp.expand_dims(plane, ax)             # (B,...,1,...)
+    if sign > 0:
+        body = jax.lax.slice_in_dim(d_own, 1, v, axis=ax)
+        return jnp.concatenate([body, plane], axis=ax)
+    body = jax.lax.slice_in_dim(d_own, 0, v - 1, axis=ax)
+    return jnp.concatenate([plane, body], axis=ax)
+
+
 @partial(jax.jit, static_argnums=(0, 2))
 def esdf_from_tsdf(spec: vx.VoxelGridSpec, tsdf: vx.TsdfLayer,
                    cfg: EsdfConfig = EsdfConfig()) -> EsdfLayer:
@@ -117,44 +168,7 @@ def esdf_from_tsdf(spec: vx.VoxelGridSpec, tsdf: vx.TsdfLayer,
 
     # block-level face-neighbor slots (one per axis-aligned direction):
     # cheap (B,)-sized lookups, hoisted out of the sweep
-    def face_neighbor_idx(off3):
-        nb = tsdf.block_coords + jnp.asarray(off3, jnp.int32)[None]
-        slot = vx.block_grid_slot(spec, nb)
-        return jnp.where(vx.block_in_grid(spec, nb),
-                         flat_index[slot], -1)                 # (B,)
-    face_idx = {o: face_neighbor_idx(o)
-                for o in ((1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
-                          (0, 0, 1), (0, 0, -1))}
-
-    def shifted_field(d: Array, off3) -> Array:
-        """Axis-aligned neighbor field via static slice + one FACE-PLANE
-        gather: the per-voxel 4-D gather of the generic path serializes
-        the TPU gather unit (measured 32 s per build at 534 blocks over
-        the tunnel — 2.2 G randomly-addressed elements across 44
-        sweeps); a (B, v, v) plane gather per direction is 1/16th the
-        addresses and the rest is a contiguous shift XLA fuses.
-        Bit-identical results."""
-        axis = next(a for a, c in enumerate(off3) if c != 0)
-        sign = off3[axis]
-        idx = face_idx[off3]
-        safe = jnp.maximum(idx, 0)
-        pl_i = 0 if sign > 0 else v - 1
-        ax = axis + 1                                  # voxel axis in d
-        # face plane of the neighbor block, (B, v, v)
-        if ax == 1:
-            plane = d[safe, pl_i, :, :]
-        elif ax == 2:
-            plane = d[safe, :, pl_i, :]
-        else:
-            plane = d[safe, :, :, pl_i]
-        plane = jnp.where((idx >= 0)[:, None, None], plane, md)
-        plane = jnp.expand_dims(plane, ax)             # (B,...,1,...)
-        if sign > 0:
-            body = jax.lax.slice_in_dim(d, 1, v, axis=ax)
-            return jnp.concatenate([body, plane], axis=ax)
-        body = jax.lax.slice_in_dim(d, 0, v - 1, axis=ax)
-        return jnp.concatenate([plane, body], axis=ax)
-
+    face_idx = face_neighbor_indices(spec, tsdf.block_coords, flat_index)
     offs_np = [tuple(int(c) for c in o) for o in offs.tolist()]
 
     def sweep(d, _):
@@ -163,7 +177,7 @@ def esdf_from_tsdf(spec: vx.VoxelGridSpec, tsdf: vx.TsdfLayer,
         for a in range(len(offs_np)):
             o = offs_np[a]
             if sum(abs(c) for c in o) == 1:
-                dn = shifted_field(d, o)
+                dn = axis_neighbor_field(d, d, face_idx, o, v, md)
             else:
                 # diagonal offsets (full_connectivity): generic gather
                 dn = gather_neighbor(d, offs[a])

@@ -214,6 +214,13 @@ def esdf_sharded(spec: vx.VoxelGridSpec, mesh: Mesh, parts: ShardedBlocks,
             dn = dist_ext[safe, l[..., 0], l[..., 1], l[..., 2]]
             return jnp.where(idx >= 0, dn, md)
 
+        # face-neighbor block indices per OWN block into the EXTENDED
+        # (own + halos) pool — hoisted; lets the sweep's 6-connectivity
+        # part run as shifts + face-plane gathers instead of the
+        # gather-unit-serializing per-voxel gather (ops/esdf.py)
+        face_idx = esdf_ops.face_neighbor_indices(spec, coords, flat_index)
+        offs_np = [tuple(int(c) for c in o) for o in offs.tolist()]
+
         def refresh_halo(dist_ext):
             own = dist_ext[:Bd]
             from_l, from_r = exch(own[safe_r], own[safe_l])
@@ -229,8 +236,13 @@ def esdf_sharded(spec: vx.VoxelGridSpec, mesh: Mesh, parts: ShardedBlocks,
             d = dist_ext[:Bd]
             pos_best = jnp.full_like(d, md)
             neg_best = jnp.full_like(d, -md)
-            for a in range(offs.shape[0]):
-                dn = gather_neighbor(dist_ext, offs[a])
+            for a in range(len(offs_np)):
+                o = offs_np[a]
+                if sum(abs(c) for c in o) == 1:
+                    dn = esdf_ops.axis_neighbor_field(
+                        dist_ext, d, face_idx, o, v, md)
+                else:
+                    dn = gather_neighbor(dist_ext, offs[a])
                 pos_best = jnp.minimum(pos_best,
                                        jnp.maximum(dn, 0.0) + step[a])
                 neg_best = jnp.maximum(neg_best,
