@@ -77,11 +77,18 @@ class MeshWithHistory:
 
     @property
     def frame_idx(self) -> np.ndarray:
-        """(F,) first observing keyframe per face (start of run 0) —
-        the single-keyframe summary of the run-length history."""
+        """(F,) first observing keyframe per face — the chronologically
+        earliest start across the face's observation runs (runs are stored
+        ranked by LENGTH, so run 0's start is not necessarily first;
+        ADVICE r3). Faces with no runs fall back to 0."""
         if self.frame_runs.shape[0] == 0:
             return np.zeros((0,), np.uint16)
-        return self.frame_runs[:, 0, 0]
+        starts = self.frame_runs[:, :, 0].astype(np.int32)
+        starts = np.where(starts == RUN_SENTINEL, np.iinfo(np.int32).max,
+                          starts)
+        first = starts.min(axis=1)
+        return np.where(first == np.iinfo(np.int32).max, 0,
+                        first).astype(np.uint16)
 
     def pack(self) -> bytes:
         """→ bytes (the ROS-serialization equivalent; sizeOfMsg analogue
@@ -411,7 +418,9 @@ def recover_layer(spec: vx.VoxelGridSpec, cfg: tsdf_ops.TsdfIntegratorConfig,
         # power-of-two buckets compiled a fresh integrate_points program
         # per distinct bucket (~10-40 s each over the axon tunnel for a
         # single multi-keyframe message — ADVICE r2)
-        n_max = max(c[0].shape[0] for c in clouds.values())
+        # default=0 keeps the empty-mesh message (decode returns {}) a
+        # no-op instead of a ValueError (ADVICE r3)
+        n_max = max((c[0].shape[0] for c in clouds.values()), default=0)
         cap = max(1 << (max(n_max, 1) - 1).bit_length(), 256)
         for k in sorted(clouds):
             pts_cam, cols = clouds[k]

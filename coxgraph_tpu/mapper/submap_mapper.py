@@ -155,8 +155,14 @@ def start_submap(cfg: MapperConfig, state: MapperState, T_odom_cam: Array,
         hist_count=col.hist_count.at[k].set(0, mode="drop"),
         num_submaps=jnp.minimum(k + 1, cfg.max_submaps),
     )
+    # When the submap pool is saturated (k == max_submaps) the slot
+    # writes above all drop — the constraint adds must drop too, or a
+    # chain/height row lands with node index k that jit gather clamping
+    # silently applies to the LAST REAL submap in optimize_local
+    # (ADVICE r3).
+    in_pool = k < cfg.max_submaps
     constraints = jax.lax.cond(
-        k > 0,
+        (k > 0) & in_pool,
         lambda c: c.add(prev, k, T_prev_new,
                         cfg.odom_sqrt_info * jnp.eye(6)),
         lambda c: c,
@@ -166,7 +172,12 @@ def start_submap(cfg: MapperConfig, state: MapperState, T_odom_cam: Array,
     if cfg.height_prior_stddev > 0:
         # odom z at creation as an absolute height measurement (mirrors
         # the server wiring; pins the local pitch+z drift valley)
-        heights = heights.add(k, T_odom_cam[6], cfg.height_prior_stddev)
+        heights = jax.lax.cond(
+            in_pool,
+            lambda h: h.add(k, T_odom_cam[6], cfg.height_prior_stddev),
+            lambda h: h,
+            heights,
+        )
     return dataclasses.replace(state, collection=col,
                                constraints=constraints, heights=heights)
 
@@ -343,6 +354,27 @@ class HostMapper:
         # arriving while disabled are dropped, as the reference tsdf
         # client does.
         self.mapping_enabled = True
+        # rollovers refused because the submap pool was full — frames
+        # keep integrating into the LAST submap (warn-and-count like the
+        # constraint pools; the reference grows its collection
+        # dynamically, submap_collection.cpp:10-22)
+        self.dropped_submaps = 0
+
+    def _rollover_sat(self, n: Optional[int] = None) -> bool:
+        """True (+warn/count) when a due rollover cannot start a new
+        submap because the pool is saturated. ``n`` overrides the live
+        submap count (step_batch tracks it locally within a window)."""
+        if (self.n_submaps if n is None else n) < self.cfg.max_submaps:
+            return False
+        import warnings
+
+        self.dropped_submaps += 1
+        warnings.warn(
+            f"submap pool saturated ({self.cfg.max_submaps}); rollover "
+            f"dropped (total {self.dropped_submaps}) — frames continue "
+            f"into the last submap; raise MapperConfig.max_submaps",
+            RuntimeWarning, stacklevel=3)
+        return True
 
     def finish_map(self,
                    solver_cfg: "pg.SolverConfig" = None) -> None:
@@ -361,11 +393,14 @@ class HostMapper:
         started = False
         if (self.n_submaps == 0
                 or t - self.last_start >= self.cfg.submap_interval - 1e-6):
-            self.state = start_submap(self.cfg, self.state, T_odom_cam,
-                                      jnp.asarray(t, jnp.float32))
-            self.n_submaps = min(self.n_submaps + 1, self.cfg.max_submaps)
-            self.last_start = t
-            started = True
+            if self._rollover_sat():
+                self.last_start = t
+            else:
+                self.state = start_submap(self.cfg, self.state, T_odom_cam,
+                                          jnp.asarray(t, jnp.float32))
+                self.n_submaps += 1
+                self.last_start = t
+                started = True
         self.state = integrate(self.cfg, self.state, depth, color,
                                T_odom_cam, jnp.asarray(t, jnp.float32))
         return started
@@ -381,11 +416,15 @@ class HostMapper:
         started = False
         if (self.n_submaps == 0
                 or t - self.last_start >= self.cfg.submap_interval - 1e-6):
-            self.state = start_submap(self.cfg, self.state, T_odom_sensor,
-                                      jnp.asarray(t, jnp.float32))
-            self.n_submaps = min(self.n_submaps + 1, self.cfg.max_submaps)
-            self.last_start = t
-            started = True
+            if self._rollover_sat():
+                self.last_start = t
+            else:
+                self.state = start_submap(self.cfg, self.state,
+                                          T_odom_sensor,
+                                          jnp.asarray(t, jnp.float32))
+                self.n_submaps += 1
+                self.last_start = t
+                started = True
         self.state = integrate_points(self.cfg, self.state, points, colors,
                                       valid, T_odom_sensor,
                                       jnp.asarray(t, jnp.float32))
@@ -410,9 +449,12 @@ class HostMapper:
         n = self.n_submaps
         for i in range(F):
             if n == 0 or ts[i] - last >= self.cfg.submap_interval - 1e-6:
-                starts.append(i)
                 last = float(ts[i])
-                n = min(n + 1, self.cfg.max_submaps)
+                if self._rollover_sat(n):   # warn+count; frames continue
+                    pass                    # into the last submap
+                else:
+                    starts.append(i)
+                    n += 1
         segments = []        # (rollover frame or None, lo, hi)
         if not starts or starts[0] > 0:
             segments.append((None, 0, starts[0] if starts else F))

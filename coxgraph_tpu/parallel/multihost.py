@@ -113,19 +113,31 @@ def collective_payload_bytes(hlo_text: str) -> dict:
     by the loop's trip count (e.g. SolverConfig.iterations for the GN
     loop) for per-call totals. On a mesh spanning H hosts, every listed
     byte crosses the DCN boundary at least once per execution (ring
-    reductions ship each element across every inter-host link)."""
+    reductions ship each element across every inter-host link).
+
+    Handles single-array shapes, TUPLE-shaped combined collectives
+    (XLA's AllReduceCombiner merges e.g. the solver's H and b psums into
+    one `(f32[...], f32[...]) all-reduce`), and async `-start` forms
+    (the matching `-done` re-stages the same payload and is NOT counted
+    again) — ADVICE r3."""
     import re
 
+    shape_re = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
+    inst_re = re.compile(
+        r"=\s*([^\n=]+?)\s*\b(" + "|".join(_COLLECTIVES) +
+        r")(-start)?\(")
     out: dict = {}
-    for m in re.finditer(
-            r"=\s*([a-z0-9]+)\[([0-9,]*)\][^=]*?\b(" +
-            "|".join(_COLLECTIVES) + r")\(", hlo_text):
-        dtype, dims, kind = m.group(1), m.group(2), m.group(3)
-        n = 1
-        for d in dims.split(","):
-            if d:
-                n *= int(d)
-        out[kind] = out.get(kind, 0) + n * _DTYPE_BYTES.get(dtype, 4)
+    for m in inst_re.finditer(hlo_text):
+        lhs, kind = m.group(1), m.group(2)
+        total = 0
+        for dtype, dims in shape_re.findall(lhs):
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            total += n * _DTYPE_BYTES.get(dtype, 4)
+        if total:
+            out[kind] = out.get(kind, 0) + total
     return out
 
 

@@ -312,3 +312,53 @@ def test_merge_cross_resolution():
         assert near.sum() > 50, (vs, near.sum())
         err = np.abs(np.asarray(dst.sdf)[near] - true[near])
         assert np.median(err) < max(SPEC.voxel_size, vs), (vs, np.median(err))
+
+
+def test_saturated_submap_pool_drops_constraint_adds():
+    """ADVICE r3: at pool saturation, start_submap must drop the chain
+    AND height adds — otherwise a row with node index == max_submaps
+    lands valid and jit gather clamping applies it to the LAST real
+    submap in optimize_local."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, max_submaps=2, height_prior_stddev=0.1)
+    state = sm.create_mapper(cfg)
+    for k in range(4):
+        T = geo.make(jnp.asarray([1.0, 0, 0, 0]),
+                     jnp.asarray([float(k), 0.0, 0.2 * k]))
+        state = sm.start_submap(cfg, state, T, jnp.asarray(float(k)))
+    assert int(state.collection.num_submaps) == 2
+    # only the one in-pool chain constraint (0→1)
+    assert int(state.constraints.count) == 1
+    # height priors for the two real submaps only, indices in range
+    assert int(state.heights.count) == 2
+    hi = np.asarray(state.heights.i)[np.asarray(state.heights.valid)]
+    assert (hi < cfg.max_submaps).all(), hi
+
+
+def test_host_mapper_warns_on_submap_saturation():
+    """Saturated rollovers warn + count (warn-and-count discipline of
+    the constraint pools; VERDICT r3 task #3, mapper side)."""
+    import dataclasses
+    import warnings
+
+    cfg = dataclasses.replace(CFG, max_submaps=2, submap_interval=0.1)
+    hm = sm.HostMapper(cfg)
+    depth = jnp.full((cfg.intrinsics.height, cfg.intrinsics.width), 2.0)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        for i in range(4):
+            hm.step(depth, None, geo.identity(), 0.1 * i)
+        assert hm.dropped_submaps == 2
+        assert hm.n_submaps == 2
+        msgs = [w for w in rec if "submap pool saturated" in str(w.message)]
+        assert len(msgs) == 2
+    # step_batch path counts too
+    hm2 = sm.HostMapper(cfg)
+    depths = jnp.tile(depth[None], (4, 1, 1))
+    Ts = jnp.tile(geo.identity()[None], (4, 1))
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        n_started = hm2.step_batch(depths, None, Ts,
+                                   np.arange(4, dtype=np.float32) * 0.1)
+    assert n_started == 2 and hm2.dropped_submaps == 2

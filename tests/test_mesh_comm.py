@@ -135,3 +135,33 @@ def test_run_length_observation_history():
     # total decoded points exceed a single-keyframe assignment's count
     n_pts = sum(p.shape[0] for p, _ in clouds.values())
     assert n_pts > msg.faces.shape[0] * 3
+
+
+def test_recover_empty_mesh_is_noop():
+    """ADVICE r3: recover_layer(method="merged") on an empty mesh message
+    must return an empty layer, not raise on max() of an empty decode."""
+    layer = vx.create_tsdf_layer(SPEC)          # nothing integrated
+    msg = mesh_comm.encode_submap_mesh(SPEC, layer, np.zeros(1),
+                                       np.tile(np.array(
+                                           [1, 0, 0, 0, 0, 0, 0],
+                                           np.float32), (1, 1)), INTR)
+    assert msg.faces.shape[0] == 0
+    for method in ("merged", "projective"):
+        out = mesh_comm.recover_layer(SPEC, CFG, INTR, msg, method=method)
+        assert int(out.num_blocks) == 0
+
+
+def test_frame_idx_is_chronological_first():
+    """ADVICE r3: runs are stored ranked by LENGTH; frame_idx must still
+    report the chronologically earliest observation."""
+    runs = np.full((3, 2, 2), mesh_comm.RUN_SENTINEL, np.uint16)
+    runs[0] = [[5, 9], [1, 1]]       # longest run starts at 5; first obs 1
+    runs[1] = [[2, 3], [mesh_comm.RUN_SENTINEL, mesh_comm.RUN_SENTINEL]]
+    # face 2: no runs at all → fallback 0
+    msg = mesh_comm.MeshWithHistory(
+        0, 0, 0.0, 1.0, np.zeros(3, np.float32), 1e-3,
+        np.zeros((3, 3), np.uint16), np.zeros((3, 3), np.uint8),
+        np.zeros((3, 3), np.uint32), runs,
+        np.zeros(10), np.tile(np.array([1, 0, 0, 0, 0, 0, 0],
+                                       np.float32), (10, 1)))
+    np.testing.assert_array_equal(msg.frame_idx, [1, 2, 0])

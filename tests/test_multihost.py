@@ -158,3 +158,22 @@ def test_bus_cross_host_bind():
         sub.close()
     finally:
         b.close()
+
+
+def test_collective_payload_bytes_tuple_and_async():
+    """ADVICE r3: XLA's AllReduceCombiner merges psums into tuple-shaped
+    collectives and async forms split into -start/-done pairs; the HLO
+    accounting must count both (members summed, -done not re-counted)."""
+    from coxgraph_tpu.parallel.multihost import collective_payload_bytes
+
+    hlo = """
+      %ar.1 = f32[64]{0} all-reduce(%x), replica_groups={}
+      %ar.2 = (f32[64]{0:T(256)}, f32[12,3]{1,0}) all-reduce(%a, %b)
+      %ars = f32[8]{0} all-reduce-start(%y)
+      %ard = f32[8]{0} all-reduce-done(%ars)
+      %ag = bf16[128]{0} all-gather(%z)
+      %t = (f32[64]{0}) tuple(%all-reduce.3)
+    """
+    out = collective_payload_bytes(hlo)
+    assert out["all-reduce"] == 64 * 4 + (64 * 4 + 36 * 4) + 8 * 4
+    assert out["all-gather"] == 128 * 2
