@@ -92,6 +92,14 @@ class MapperState:
     heights: pg.HeightConstraints        # absolute z priors (one/submap
     #                                      when cfg.height_prior_stddev>0)
     frame_count: Array                   # () int32
+    # window working-set observability (VERDICT r3 #1): largest
+    # touched-block union any integrate_batch window has seen, and the
+    # running count of blocks whose updates were dropped because the
+    # union overflowed TsdfIntegratorConfig.window_union_blocks. Device
+    # scalars — free to carry, read at control rate
+    # (HostMapper.union_saturation, bench extra_metrics).
+    union_watermark: Array               # () int32
+    dropped_union_blocks: Array          # () int32
 
 
 def create_collection(cfg: MapperConfig) -> SubmapCollection:
@@ -118,6 +126,8 @@ def create_mapper(cfg: MapperConfig) -> MapperState:
         constraints=pg.RelPoseConstraints.empty(cfg.max_constraints),
         heights=pg.HeightConstraints.empty(cfg.max_submaps),
         frame_count=jnp.zeros((), jnp.int32),
+        union_watermark=jnp.zeros((), jnp.int32),
+        dropped_union_blocks=jnp.zeros((), jnp.int32),
     )
 
 
@@ -245,9 +255,9 @@ def integrate_batch(cfg: MapperConfig, state: MapperState, depths: Array,
     k = col.active
     T_sm_cams = jax.vmap(
         lambda T: geo.relative(col.T_odom_submap[k], T))(T_odom_cams)
-    layers = tsdf_ops.integrate_window_stacked_impl(
+    layers, (n_union, n_dropped) = tsdf_ops.integrate_window_stacked_impl(
         cfg.spec, cfg.integrator, cfg.intrinsics, col.layers, k, depths,
-        colors, T_sm_cams)
+        colors, T_sm_cams, return_stats=True)
     col = dataclasses.replace(col, layers=layers)
 
     # per-frame bookkeeping (small arrays): identical to F sequential
@@ -266,7 +276,9 @@ def integrate_batch(cfg: MapperConfig, state: MapperState, depths: Array,
     col, _ = jax.lax.scan(body, col, (T_sm_cams, ts))
     return dataclasses.replace(
         state, collection=col,
-        frame_count=state.frame_count + depths.shape[0])
+        frame_count=state.frame_count + depths.shape[0],
+        union_watermark=jnp.maximum(state.union_watermark, n_union),
+        dropped_union_blocks=state.dropped_union_blocks + n_dropped)
 
 
 def _point_cfg(cfg: MapperConfig) -> "points_ops.PointIntegratorConfig":
@@ -359,6 +371,14 @@ class HostMapper:
         # constraint pools; the reference grows its collection
         # dynamically, submap_collection.cpp:10-22)
         self.dropped_submaps = 0
+        # deferred window-overflow check: step_batch schedules an ASYNC
+        # host copy of the union counters after each window and consumes
+        # the previous window's (already-landed) values at the next call
+        # — per-window loudness with no synchronous readback, needed
+        # because the axon tunnel backend cannot run jax.debug.callback
+        # (utils/runtime.host_callbacks_supported)
+        self._pending_stats = None
+        self._warned_dropped = 0
 
     def _rollover_sat(self, n: Optional[int] = None) -> bool:
         """True (+warn/count) when a due rollover cannot start a new
@@ -376,20 +396,71 @@ class HostMapper:
             RuntimeWarning, stacklevel=3)
         return True
 
+    def _warn_overflow(self, wm: int, dropped: int) -> None:
+        if dropped > self._warned_dropped:
+            import warnings
+
+            warnings.warn(
+                f"window working set overflowed: {dropped} block-updates "
+                f"dropped (union watermark {wm} > capacity "
+                f"{self.cfg.integrator.window_union_blocks}) — raise "
+                "TsdfIntegratorConfig.window_union_blocks to at least the "
+                "watermark", RuntimeWarning, stacklevel=3)
+            self._warned_dropped = dropped
+
+    def _consume_pending_stats(self) -> None:
+        """Read the PREVIOUS window's counters (async copy landed while
+        the host prepared this window — no stall) and warn on new
+        drops."""
+        if self._pending_stats is None:
+            return
+        import numpy as np
+
+        wm_a, dr_a = self._pending_stats
+        self._pending_stats = None
+        self._warn_overflow(int(np.asarray(wm_a)), int(np.asarray(dr_a)))
+
+    def _schedule_stats_check(self) -> None:
+        wm = self.state.union_watermark
+        dr = self.state.dropped_union_blocks
+        try:
+            wm.copy_to_host_async()
+            dr.copy_to_host_async()
+        except Exception:
+            pass                    # readback at consume time instead
+        self._pending_stats = (wm, dr)
+
+    def union_saturation(self) -> Tuple[int, int]:
+        """Host readback of the window working-set counters →
+        (union_watermark, dropped_union_blocks); warns when updates have
+        been dropped. One device→host scalar sync — call at control rate
+        (finish_map does), not per frame (step_batch already runs the
+        async deferred variant per window)."""
+        import numpy as np
+
+        self._pending_stats = None
+        wm = int(np.asarray(self.state.union_watermark))
+        dropped = int(np.asarray(self.state.dropped_union_blocks))
+        self._warn_overflow(wm, dropped)
+        return wm, dropped
+
     def finish_map(self,
                    solver_cfg: "pg.SolverConfig" = None) -> None:
         """Final local PGO + stop integrating (the voxgraph finish_map
         service, finish_experiment.sh:3-4)."""
+        self._consume_pending_stats()
         if self.n_submaps > 1:
             self.state = optimize_local(
                 self.cfg, self.state,
                 solver_cfg if solver_cfg is not None else pg.SolverConfig())
+        self.union_saturation()
         self.mapping_enabled = False
 
     def step(self, depth: Array, color: Optional[Array], T_odom_cam: Array,
              t: float) -> bool:
         if not self.mapping_enabled:
             return False
+        self._consume_pending_stats()   # before donating state
         started = False
         if (self.n_submaps == 0
                 or t - self.last_start >= self.cfg.submap_interval - 1e-6):
@@ -413,6 +484,7 @@ class HostMapper:
         the jit cache stays bounded."""
         if not self.mapping_enabled:
             return False
+        self._consume_pending_stats()   # before donating state
         started = False
         if (self.n_submaps == 0
                 or t - self.last_start >= self.cfg.submap_interval - 1e-6):
@@ -442,6 +514,7 @@ class HostMapper:
 
         if not self.mapping_enabled:
             return 0
+        self._consume_pending_stats()   # previous window's counters
         ts = np.asarray(ts, np.float32)
         F = len(ts)
         starts = []          # frame indices where a rollover fires
@@ -474,6 +547,7 @@ class HostMapper:
                     self.cfg, self.state, depths[lo:hi],
                     None if colors is None else colors[lo:hi],
                     T_odom_cams[lo:hi], jnp.asarray(ts[lo:hi]))
+        self._schedule_stats_check()
         return len(starts)
 
 

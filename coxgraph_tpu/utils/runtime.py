@@ -36,6 +36,26 @@ def enable_compilation_cache(path: str | None = None) -> None:
     _CACHE_ENABLED = True
 
 
+_CB_SUPPORTED: bool | None = None
+
+
+def host_callbacks_supported() -> bool:
+    """Whether the active backend supports host callbacks
+    (jax.debug.callback / io_callback / pure_callback). The axon TPU
+    tunnel plugin raises UNIMPLEMENTED on any host send/recv callback —
+    a program containing one fails at RUN time, so callback-bearing
+    traces must be gated at trace time (ops/tsdf window-overflow
+    warning; HostMapper uses an async scalar readback there instead)."""
+    global _CB_SUPPORTED
+    if _CB_SUPPORTED is None:
+        try:
+            pv = getattr(jax.devices()[0].client, "platform_version", "")
+        except Exception:
+            pv = ""
+        _CB_SUPPORTED = "axon" not in pv
+    return _CB_SUPPORTED
+
+
 def force_cpu(n_devices: int = 8) -> None:
     """Force the CPU backend with a virtual device mesh. Must run before
     any computation. Note: the axon TPU plugin ignores JAX_PLATFORMS, so

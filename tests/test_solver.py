@@ -213,3 +213,25 @@ def test_pool_overflow_watermark_and_solve_sanity():
     res = pg.optimize(poses, c, pg.SolverConfig(iterations=5))
     assert np.all(np.isfinite(np.asarray(res.poses)))
     assert float(res.cost) <= float(res.initial_cost) + 1e-9
+
+
+def test_height_prior_only_pose_is_not_gauge_frozen():
+    """VERDICT r3 Weak #3: a pose referenced ONLY by a height prior must
+    still move toward its prior (the touched-mask now counts height
+    constraints, agreeing with the phase-2 path)."""
+    import numpy as np
+
+    poses = jnp.stack([geo.identity(),
+                       geo.make(jnp.asarray([1.0, 0, 0, 0]),
+                                jnp.asarray([1.0, 0.0, 0.5]))])
+    cons = pg.RelPoseConstraints.empty(4)   # no rel-pose constraints at all
+    h = pg.HeightConstraints.empty(4).add(1, 0.0, stddev=0.01)
+    res = pg.optimize(poses, cons, pg.SolverConfig(iterations=10),
+                      heights=h)
+    z = float(res.poses[1, 6])
+    assert abs(z) < 0.05, z                 # pulled from 0.5 toward 0
+    # untouched coords of the height-only pose stay put (rank handled)
+    np.testing.assert_allclose(np.asarray(res.poses[1, 4:6]), [1.0, 0.0],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res.poses[0]),
+                               np.asarray(geo.identity()), atol=1e-6)
