@@ -306,16 +306,32 @@ def lookup_block(spec: VoxelGridSpec, layer: TsdfLayer, b: Array) -> Array:
 
 
 def voxel_lookup(spec: VoxelGridSpec, layer: TsdfLayer, v: Array):
-    """Global voxel index (...,3) → (sdf, weight, valid_mask)."""
+    """Global voxel index (...,3) → (sdf, weight, valid_mask).
+
+    Lookups for MISSING blocks get UNIQUE spread dummy addresses, never
+    a clamped constant: clamping every dead point to pool row 0 made the
+    merge's trilinear sampling gather-unit-serialized at ~24 ns/element
+    (round-4 trace — duplicate-address gathers serialize, the same rule
+    as ops/tsdf._update_xla). One flat-view gather per field instead of
+    a 2-axis gather."""
     b, l = voxel_to_block(spec, v)
     idx = lookup_block(spec, layer, b)
-    safe = jnp.maximum(idx, 0)
     vps = spec.voxels_per_side
     lin = (l[..., 0] * vps + l[..., 1]) * vps + l[..., 2]
-    sdf = layer.sdf[safe, lin]
-    w = layer.weight[safe, lin]
+    v3 = vps * vps * vps
+    total = layer.sdf.shape[0] * v3
+    flat = idx * v3 + lin
     valid = idx >= 0
-    return jnp.where(valid, sdf, spec.truncation), jnp.where(valid, w, 0.0), valid
+    n = 1
+    for d in flat.shape:
+        n *= d
+    spread = jax.lax.broadcasted_iota(
+        jnp.int32, (n, 1), 0).squeeze(-1).reshape(flat.shape) % total
+    flat = jnp.where(valid, flat, spread)
+    sdf = layer.sdf.reshape(-1)[flat]
+    w = layer.weight.reshape(-1)[flat]
+    return (jnp.where(valid, sdf, spec.truncation),
+            jnp.where(valid, w, 0.0), valid)
 
 
 def sample_tsdf_trilinear(spec: VoxelGridSpec, layer: TsdfLayer, p: Array):

@@ -55,6 +55,55 @@ def _candidate_dst_blocks(dst_spec: vx.VoxelGridSpec,
     return cand.reshape(-1, 3), valid.reshape(-1)
 
 
+def _packed_trilinear(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
+                      packed: Array, p: Array):
+    """sample_tsdf_trilinear against a (sdf,weight)-packed u32 pool —
+    half the gather count of the separate-pool sampler (merge-only; the
+    registration path keeps the exact f32 sampler)."""
+    x = p / spec.voxel_size - 0.5
+    v0 = jnp.floor(x).astype(jnp.int32)
+    frac = x - v0.astype(x.dtype)
+    vps = spec.voxels_per_side
+    v3 = vps * vps * vps
+    total = layer.sdf.shape[0] * v3
+    n = 1
+    for d in p.shape[:-1]:
+        n *= d
+    spread = jax.lax.broadcasted_iota(
+        jnp.int32, (n, 1), 0).squeeze(-1).reshape(p.shape[:-1]) % total
+    # NOTE: replacing the 8 per-corner lookup_block gathers with one
+    # lax.gather of (2,2,2) grid slices was tried and REVERTED: the
+    # slice-gather's s32[P,2,2,2] output takes a T(2,128) layout — 64×
+    # padding, 16 GB HBM, compile-time OOM (round 4).
+    sdf_acc = jnp.zeros(p.shape[:-1], jnp.float32)
+    w_acc = jnp.zeros_like(sdf_acc)
+    valid = jnp.ones(p.shape[:-1], jnp.bool_)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                corner = v0 + jnp.array([dx, dy, dz], jnp.int32)
+                b, l = vx.voxel_to_block(spec, corner)
+                idx = vx.lookup_block(spec, layer, b)
+                lin = (l[..., 0] * vps + l[..., 1]) * vps + l[..., 2]
+                ok_b = idx >= 0
+                flat = jnp.where(ok_b, idx * v3 + lin, spread)
+                u = packed[flat]
+                s = jax.lax.bitcast_convert_type(
+                    (u >> 16).astype(jnp.uint16),
+                    jnp.bfloat16).astype(jnp.float32)
+                w = jax.lax.bitcast_convert_type(
+                    (u & 0xFFFF).astype(jnp.uint16),
+                    jnp.bfloat16).astype(jnp.float32)
+                wt = ((frac[..., 0] if dx else 1 - frac[..., 0])
+                      * (frac[..., 1] if dy else 1 - frac[..., 1])
+                      * (frac[..., 2] if dz else 1 - frac[..., 2]))
+                sdf_acc = sdf_acc + wt * s
+                w_acc = w_acc + wt * w
+                valid = valid & ok_b & (w > 0)
+    return (jnp.where(valid, sdf_acc, spec.truncation),
+            jnp.where(valid, w_acc, 0.0), valid)
+
+
 @partial(jax.jit, static_argnums=(0, 4, 5), donate_argnums=1)
 def merge_layer_into(spec: vx.VoxelGridSpec, dst: vx.TsdfLayer,
                      src: vx.TsdfLayer, T_dst_src: Array,
@@ -71,10 +120,33 @@ def merge_layer_into(spec: vx.VoxelGridSpec, dst: vx.TsdfLayer,
 
     slots, slot_mask = touched_block_slots(spec, dst, cand, cand_valid,
                                            max_touched)
-    coords = dst.block_coords[slots]
+    K = slots.shape[0]
+    # (sdf, weight) packed as two bf16 in one u32 so the trilinear
+    # corner fetch is 8 gathers instead of 16 — the merge is
+    # gather-count-bound (~200 ms per 8.4 M-element gather on the v5e,
+    # round-4 trace) and bf16 sdf error (≤0.4 % of truncation) is far
+    # below voxel scale. One full-pool pack pass ≈ 0.1 ms.
+    s16 = jax.lax.bitcast_convert_type(
+        src.sdf.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    w16 = jax.lax.bitcast_convert_type(
+        src.weight.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    packed = ((s16 << 16) | w16).reshape(-1)               # (S·v³,)
+    # spread DEAD rows across distinct pool rows / block coords: clamped
+    # duplicates made every masked row sample and write the same
+    # addresses — duplicate-address gathers/scatters serialize
+    # (docs/PERFORMANCE.md rule #4; the merge ran gather-bound at
+    # ~24 ns/element before this)
+    ridx = jnp.arange(K, dtype=jnp.int32)
+    slots = jnp.where(slot_mask, slots, ridx % dst.sdf.shape[0])
+    gd = spec.grid_dim
+    h = spec.half_grid
+    spread_c = jnp.stack([ridx % gd, (ridx // gd) % gd,
+                          (ridx // (gd * gd)) % gd], axis=-1) - h
+    coords = jnp.where(slot_mask[:, None], dst.block_coords[slots],
+                       spread_c)
     centers = vx.voxel_centers_of_block(spec, coords)          # (K,v,v,v,3)
     p_src = geo.transform_points(geo.inverse(T_dst_src), centers)
-    s_sdf, s_w, s_ok = vx.sample_tsdf_trilinear(src_spec, src, p_src)
+    s_sdf, s_w, s_ok = _packed_trilinear(src_spec, src, packed, p_src)
     # nearest-voxel color from source (flat planar pool rows: per-channel
     # gather via a broadcast channel offset on the linear voxel index)
     v3 = spec.voxels_per_side ** 3                 # dst voxels per block
@@ -86,8 +158,14 @@ def merge_layer_into(spec: vx.VoxelGridSpec, dst: vx.TsdfLayer,
     bidx = vx.lookup_block(src_spec, src, b)
     lin = ((l[..., 0] * sv + l[..., 1]) * sv + l[..., 2]).reshape(K, 1, v3)
     ch_off = (jnp.arange(3) * sv3).reshape(1, 3, 1)
-    c_src = src.color[jnp.maximum(bidx, 0).reshape(K, 1, v3),
-                      ch_off + lin]                        # (K,3,v³)
+    # spread dummy rows for unallocated source blocks (same
+    # duplicate-gather rule as above); their colors are masked by w_in=0
+    bflat = bidx.reshape(K, 1, v3)
+    spread_b = (jax.lax.broadcasted_iota(jnp.int32, (K, 1, v3), 0) * v3
+                + jax.lax.broadcasted_iota(jnp.int32, (K, 1, v3), 2)
+                ) % src.sdf.shape[0]
+    brow = jnp.where(bflat >= 0, bflat, spread_b)
+    c_src = src.color[brow, ch_off + lin]                  # (K,3,v³)
 
     s_sdf = s_sdf.reshape(K, v3)
     w_in = jnp.where((s_ok & slot_mask[:, None, None, None]).reshape(K, v3),
@@ -107,9 +185,17 @@ def merge_layer_into(spec: vx.VoxelGridSpec, dst: vx.TsdfLayer,
         / jnp.maximum(new_w, 1e-9)[:, None],
         old_c,
     ).reshape(K, 3 * v3)
+    # dead rows scatter to distinct OUT-OF-RANGE targets (dropped): a
+    # spread dead row may alias a live row's slot, and a clamped
+    # duplicate target both serializes the scatter and races the live
+    # write
+    tgt = jnp.where(slot_mask, slots, dst.sdf.shape[0] + ridx)
     return dataclasses.replace(
         dst,
-        sdf=dst.sdf.at[slots].set(new_sdf, mode="drop"),
-        weight=dst.weight.at[slots].set(new_w, mode="drop"),
-        color=dst.color.at[slots].set(new_c, mode="drop"),
+        sdf=dst.sdf.at[tgt].set(new_sdf, mode="drop",
+                                unique_indices=True),
+        weight=dst.weight.at[tgt].set(new_w, mode="drop",
+                                      unique_indices=True),
+        color=dst.color.at[tgt].set(new_c, mode="drop",
+                                    unique_indices=True),
     )

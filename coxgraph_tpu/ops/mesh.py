@@ -95,30 +95,51 @@ def _onehot(idx: np.ndarray, depth: int) -> np.ndarray:
     return out
 
 
-# One-hot constants so every table lookup in the kernel is an einsum on the
-# MXU instead of a scattered gather (XLA TPU gathers are scalar-slow):
-#   _T8[q,v,c]      — cube-corner selector of tet q's vertex v
-#   _EA/_EB[q,e,c]  — cube-corner selector of tet q's edge e endpoints
-#   _EDGE_SEL[t,a,b,e] — for case t, triangle a, vertex b: which tet edge
+# One-hot constants so every table lookup in the kernel is a small matmul
+# on the MXU instead of a scattered gather (XLA TPU gathers are
+# scalar-slow). The kernel is LANE-MAJOR (round-4 rewrite): every bulk
+# array carries the cell axis N as its MINOR dimension — the structure
+# dims (8 corners, 6 tets, 6 edges, 2 tris, 3 verts, 3 coords) are tiny
+# and would pad 14-42x as trailing dims under TPU (8,128) tiling
+# (docs/PERFORMANCE.md rule #2; the previous N-major form spent 19 s of
+# device time on a 527 K-tri layer, dominated by padded selects and the
+# 7 M-element output scatters).
+#   _T8M[q·4+v, c]   — cube-corner selector of tet q's vertex v
+#   _EAM/_EBM[q·6+e, c] — cube-corner selector of tet q's edge endpoints
+#   _ESM[a·18+b·6+e, t] — for case t: does (tri a, vert b) use tet edge e
 _T8 = _onehot(_TETS, 8)                                        # (6,4,8)
 _EA = _onehot(_TETS[:, _TET_EDGES[:, 0]], 8)                   # (6,6,8)
 _EB = _onehot(_TETS[:, _TET_EDGES[:, 1]], 8)                   # (6,6,8)
 _EDGE_SEL = _onehot(np.maximum(_TRI_EDGES_TABLE, 0), 6)        # (16,2,3,6)
 _N_TRIS_F = _N_TRIS_TABLE.astype(np.float32)
+_T8M = _T8.reshape(24, 8)
+_EAM = _EA.reshape(36, 8)
+_EBM = _EB.reshape(36, 8)
+_ESM = np.ascontiguousarray(
+    _EDGE_SEL.transpose(1, 2, 3, 0).reshape(36, 16))
+# tet-vertex / tet-edge-endpoint POSITION offsets are constants (the
+# cube corners), so vertex positions never go through a matmul: they are
+# per-cell base + constant offset
+_T8OFF = _CORNERS[_TETS].astype(np.float32)                    # (6,4,3)
+_EAOFF = _CORNERS[_TETS[:, _TET_EDGES[:, 0]]].astype(np.float32)  # (6,6,3)
+_EBOFF = _CORNERS[_TETS[:, _TET_EDGES[:, 1]]].astype(np.float32)
 
 
 @partial(jax.jit, static_argnums=(0, 3))
 def mesh_block_chunk(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
                      slots: Array, min_weight: float = 1e-4):
-    """Extract triangles for a chunk of pool slots.
+    """Extract triangles for a chunk of pool slots (lane-major form).
 
     slots: (C,) int32 pool slots (may include dead slots ≥ num_blocks —
-    they emit nothing). Returns (verts (cap,3,3) f32, colors (cap,3,3) f32,
-    n_valid () int32) with cap = C·v³·3 — triangles compacted to the front
-    on device so only real data crosses the host link.
+    they emit nothing). Returns (verts (9, cap) f32, colors (9, cap)
+    f32, n_valid () int32) with cap = C·v³·3 — triangles compacted to
+    the front on device so only real data crosses the host link. Output
+    is PLANE layout: row f = vertex b·3 + coordinate k of each triangle
+    (N-minor — an interleaved (cap, 9) array would pad 9 → 128 lanes).
     """
     v = spec.voxels_per_side
     C = slots.shape[0]
+    N = C * v ** 3
     coords = layer.block_coords[slots]                      # (C,3)
     live = slots < layer.num_blocks
 
@@ -144,9 +165,7 @@ def mesh_block_chunk(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
     # small result to spatial form (whole-pool reshapes would relayout)
     big_sdf = assemble(layer.sdf[safe].reshape(C, 8, v, v, v))
     big_w = assemble(layer.weight[safe].reshape(C, 8, v, v, v))
-    # color rows are channel-planar; move channels to the trailing dim
-    big_c = assemble(jnp.moveaxis(
-        layer.color[safe].reshape(C, 8, 3, v, v, v), 2, -1))
+    col8 = layer.color[safe].reshape(C, 8, 3, v, v, v)   # channel-planar
 
     # neighbour allocation mask, expanded per octant (lookup_block only
     # returns ≥0 for allocated blocks, so this is the full validity)
@@ -154,116 +173,136 @@ def mesh_block_chunk(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
     alloc_full = jnp.repeat(
         jnp.repeat(jnp.repeat(alloc8, v, axis=1), v, axis=2), v, axis=3)
 
-    sdf = big_sdf[:, :v + 1, :v + 1, :v + 1]
-    w = big_w[:, :v + 1, :v + 1, :v + 1]
-    ccol = big_c[:, :v + 1, :v + 1, :v + 1]
-    ok = (
-        alloc_full[:, :v + 1, :v + 1, :v + 1]
-        & (w > min_weight) & live[:, None, None, None]
-    )
-    # corner world positions (voxel centers) — pure arithmetic
-    r = jnp.arange(v + 1, dtype=jnp.float32)
-    ii, jj, kk = jnp.meshgrid(r, r, r, indexing="ij")
-    corner_local = jnp.stack([ii, jj, kk], axis=-1)
-    cpos = (coords[:, None, None, None, :].astype(jnp.float32) * v
-            + corner_local + 0.5) * spec.voxel_size
+    v1 = v + 1
+    sdf_g = big_sdf[:, :v1, :v1, :v1]
+    ok_g = (alloc_full[:, :v1, :v1, :v1]
+            & (big_w[:, :v1, :v1, :v1] > min_weight)
+            & live[:, None, None, None])
+    col_g = [assemble(col8[:, :, ch])[:, :v1, :v1, :v1] for ch in range(3)]
 
-    # gather the 8 cube corners for each of v³ cells
-    def cell_gather(x):
-        # x: (C, v+1, v+1, v+1, ...) → (C, v, v, v, 8, ...)
-        parts = []
-        for cx, cy, cz in _CORNERS:
-            parts.append(x[:, cx:cx + v, cy:cy + v, cz:cz + v])
-        return jnp.stack(parts, axis=4)
+    # per cube-corner slices in SoA form: every bulk array is (…, N)
+    def corner_slices(x):
+        return jnp.stack([
+            x[:, cx:cx + v, cy:cy + v, cz:cz + v].reshape(N)
+            for cx, cy, cz in _CORNERS])                    # (8, N)
 
-    cs = cell_gather(sdf)          # (C,v,v,v,8)
-    cok = cell_gather(ok)
-    cp = cell_gather(cpos)         # (C,v,v,v,8,3)
-    cc = cell_gather(ccol)
+    cs8 = corner_slices(sdf_g)                              # (8,N) f32
+    cok = jnp.all(corner_slices(ok_g), axis=0)              # (N,) bool
+    cc8 = jnp.stack([corner_slices(c) for c in col_g])      # (3,8,N)
 
-    C = slots.shape[0]
-    n_cells = C * v * v * v
-    cs = cs.reshape(n_cells, 8)
-    cok = jnp.all(cok.reshape(n_cells, 8), axis=-1)
-    cp = cp.reshape(n_cells, 8, 3)
-    cc = cc.reshape(n_cells, 8, 3)
+    # per-cell corner-0 world position, one plane per axis (SoA)
+    r = jnp.arange(v, dtype=jnp.float32)
+    grids = jnp.meshgrid(r, r, r, indexing="ij")
+    cf = coords.astype(jnp.float32) * v
+    base = [((cf[:, k, None, None, None] + grids[k][None] + 0.5)
+             * spec.voxel_size).reshape(N) for k in range(3)]  # 3×(N,)
 
-    T8 = jnp.asarray(_T8)
-    EA = jnp.asarray(_EA)
-    EB = jnp.asarray(_EB)
-    EDGE_SEL = jnp.asarray(_EDGE_SEL)
-    ntri_f = jnp.asarray(_N_TRIS_F)
-
-    # all table lookups as one-hot contractions (MXU) — see constants above
-    ts = jnp.einsum("nc,qvc->nqv", cs, T8)         # (N,6,4)
-    tp = jnp.einsum("nck,qvc->nqvk", cp, T8)       # (N,6,4,3)
+    # table lookups as (small × 8) @ (8, N) matmuls
+    ts = (jnp.asarray(_T8M) @ cs8).reshape(6, 4, N)
+    ea = (jnp.asarray(_EAM) @ cs8).reshape(6, 6, N)
+    eb = (jnp.asarray(_EBM) @ cs8).reshape(6, 6, N)
     case = jnp.sum(
-        (ts < 0).astype(jnp.int32) * (1 << jnp.arange(4, dtype=jnp.int32)),
-        axis=-1,
-    )                                              # (N,6)
-
-    # interpolated crossing point on each of the 6 tet edges
-    ea = jnp.einsum("nc,qec->nqe", cs, EA)         # (N,6,6)
-    eb = jnp.einsum("nc,qec->nqe", cs, EB)
+        (ts < 0).astype(jnp.int32)
+        * (1 << jnp.arange(4, dtype=jnp.int32))[None, :, None], axis=1)
+    #                                                  (6,N)
     denom = ea - eb
-    t = ea / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
-    t = jnp.clip(t, 0.0, 1.0)[..., None]
-    pa = jnp.einsum("nck,qec->nqek", cp, EA)       # (N,6,6,3)
-    pb = jnp.einsum("nck,qec->nqek", cp, EB)
-    epoint = pa + t * (pb - pa)
-    ca = jnp.einsum("nck,qec->nqek", cc, EA)
-    cb = jnp.einsum("nck,qec->nqek", cc, EB)
-    ecolor = ca + t * (cb - ca)
+    t = jnp.clip(ea / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom),
+                 0.0, 1.0)                                  # (6,6,N)
 
-    case_oh = jax.nn.one_hot(case, 16, dtype=cs.dtype)       # (N,6,16)
-    sel = jnp.einsum("nqt,tabe->nqabe", case_oh, EDGE_SEL)   # (N,6,2,3,6)
-    verts = jnp.einsum("nqabe,nqek->nqabk", sel, epoint)     # (N,6,2,3,3)
-    colors = jnp.einsum("nqabe,nqek->nqabk", sel, ecolor)
-    ntri = jnp.einsum("nqt,t->nq", case_oh, ntri_f)          # (N,6)
-    tri_valid = (
-        (jnp.arange(2)[None, None, :] < ntri[..., None])
-        & cok[:, None, None]
-    )                                              # (N,6,2)
+    # edge crossing points: per-cell base + CONSTANT corner offsets (the
+    # position "matmuls" of the old form collapse to adds)
+    vs = spec.voxel_size
+    ep = [base[k][None, None, :] + vs * (
+        jnp.asarray(_EAOFF[:, :, k])[:, :, None]
+        + t * jnp.asarray((_EBOFF - _EAOFF)[:, :, k])[:, :, None])
+        for k in range(3)]                                  # 3×(6,6,N)
+    ca = [(jnp.asarray(_EAM) @ cc8[k]).reshape(6, 6, N) for k in range(3)]
+    cb = [(jnp.asarray(_EBM) @ cc8[k]).reshape(6, 6, N) for k in range(3)]
+    ec = [ca[k] + t * (cb[k] - ca[k]) for k in range(3)]    # 3×(6,6,N)
 
-    # orient triangles so the normal points toward positive sdf (outward):
-    # flip if dot(normal, mean sdf gradient proxy) < 0. Use the isolated /
-    # mean-corner direction: grad proxy = Σ_v sdf_v * (p_v - centroid).
-    centroid = jnp.mean(tp, axis=2, keepdims=True)             # (N,6,1,3)
-    grad = jnp.sum((ts[..., None]) * (tp - centroid), axis=2)  # (N,6,3)
-    e1 = verts[..., 1, :] - verts[..., 0, :]
-    e2 = verts[..., 2, :] - verts[..., 0, :]
-    nrm = jnp.cross(e1, e2)                                    # (N,6,2,3)
-    flip = jnp.sum(nrm * grad[:, :, None, :], axis=-1) < 0
-    verts = jnp.where(
-        flip[..., None, None],
-        verts[..., jnp.array([0, 2, 1]), :],
-        verts,
-    )
-    colors = jnp.where(
-        flip[..., None, None], colors[..., jnp.array([0, 2, 1]), :], colors
-    )
+    # case one-hot (16, 6N) by comparison; edge selection by one matmul
+    case_flat = case.reshape(1, 6 * N)
+    caseoh = (case_flat == jnp.arange(16, dtype=jnp.int32)[:, None]
+              ).astype(jnp.float32)                         # (16, 6N)
+    sel = (jnp.asarray(_ESM) @ caseoh).reshape(2, 3, 6, 6, N)
+    #                                              [a,b,e,q,n]
+    ntri = (jnp.asarray(_N_TRIS_F)[None, :] @ caseoh).reshape(6, N)
+    tri_valid = ((jnp.arange(2, dtype=jnp.float32)[:, None, None]
+                  < ntri[None]) & cok[None, None])          # (2,6,N)
 
-    # flatten to 1-D: arrays with tiny trailing dims get 14-40x tile
-    # padding on TPU — triangle buffers live as flat (n*9,) floats
-    out_v = verts.reshape(-1, 9)
-    out_c = colors.reshape(-1, 9)
-    out_m = tri_valid.reshape(-1)
+    # triangle vertices: contract the 6-edge axis by a short unroll of
+    # fused multiply-adds (a batched 6-length dot per (q,n) would be a
+    # degenerate batched matmul on TPU)
+    def edge_contract(field_k):
+        out = []
+        for k in range(3):
+            acc = sel[:, :, 0] * field_k[k][:, 0][None, None]
+            for e in range(1, 6):
+                acc = acc + sel[:, :, e] * field_k[k][:, e][None, None]
+            out.append(acc)                                 # (2,3,6,N)
+        return out
 
-    # device-side compaction: only ~a few % of triangle slots are real, and
-    # host transfer (possibly over a TPU tunnel) is the bottleneck. Scatter
-    # valid triangles to the front of a bounded flat buffer.
-    cap = out_m.shape[0] // 4
+    verts = edge_contract(ep)                               # 3×(2,3,6,N)
+    colsv = edge_contract(ec)
+
+    # orient triangles so the normal points toward positive sdf: the
+    # gradient proxy Σ_v sdf_v (p_v − centroid) only sees the CONSTANT
+    # corner offsets (base cancels against the centroid)
+    meanoff = _T8OFF.mean(axis=1)                           # (6,3)
+    grad = [jnp.einsum("qvn,qv->qn", ts,
+                       jnp.asarray(_T8OFF[:, :, k] - meanoff[:, k:k + 1]))
+            for k in range(3)]                              # 3×(6,N)
+    e1 = [verts[k][:, 1] - verts[k][:, 0] for k in range(3)]  # (2,6,N)
+    e2 = [verts[k][:, 2] - verts[k][:, 0] for k in range(3)]
+    nrm = [e1[1] * e2[2] - e1[2] * e2[1],
+           e1[2] * e2[0] - e1[0] * e2[2],
+           e1[0] * e2[1] - e1[1] * e2[0]]
+    flip = (nrm[0] * grad[0][None] + nrm[1] * grad[1][None]
+            + nrm[2] * grad[2][None]) < 0                   # (2,6,N)
+
+    # assemble the 9 output planes (f = vert b · 3 + coord k), swapping
+    # verts 1↔2 where the winding flips
+    def planes(field):
+        out = []
+        for b in range(3):
+            for k in range(3):
+                if b == 0:
+                    p = field[k][:, 0]
+                elif b == 1:
+                    p = jnp.where(flip, field[k][:, 2], field[k][:, 1])
+                else:
+                    p = jnp.where(flip, field[k][:, 1], field[k][:, 2])
+                out.append(p)
+        return jnp.stack(out).reshape(9, -1)                # (9, T)
+
+    bigv = planes(verts)
+    bigc = planes(colsv)
+    out_m = tri_valid.reshape(-1)                           # (T,) [a,q,n]
+
+    # device-side compaction, gather form: invert the cumsum positions
+    # with ONE small int32 scatter, then gather whole output rows — the
+    # old 7 M-element float scatters per chunk were 44 % of a 19 s
+    # full-layer extraction (round-4 trace)
+    T_ = out_m.shape[0]
+    cap = T_ // 16      # ≈ v³·3/4 triangle slots per block — 12× a
+    #  typical all-surface chunk (a 16³ surface block emits ~768 tris);
+    #  the gathers below scale with cap, and T_//4 measured 2.5× slower
+    #  at identical output. Per-chunk overflow is counted by the caller
+    #  (extract_mesh_device returns total vs kept).
     pos = jnp.cumsum(out_m.astype(jnp.int32)) - 1
-    tgt = jnp.where(out_m & (pos < cap), pos, cap)            # (T,)
-    flat_idx = (tgt[:, None] * 9 + jnp.arange(9)[None, :]).reshape(-1)
-    flat_idx = jnp.where(
-        jnp.repeat(out_m & (pos < cap), 9), flat_idx, cap * 9)
-    cv = jnp.zeros((cap * 9,), out_v.dtype).at[flat_idx].set(
-        out_v.reshape(-1), mode="drop")
-    ccf = jnp.zeros((cap * 9,), out_c.dtype).at[flat_idx].set(
-        out_c.reshape(-1), mode="drop")
-    n_valid = jnp.minimum(jnp.sum(out_m.astype(jnp.int32)), cap)
-    return cv, ccf, n_valid
+    tgt = jnp.where(out_m & (pos < cap), pos, cap)
+    src = jnp.full((cap,), T_, jnp.int32).at[tgt].set(
+        jnp.arange(T_, dtype=jnp.int32), mode="drop",
+        unique_indices=True)
+    filled = src < T_
+    # spread dummy addresses for unfilled rows (duplicate-address
+    # gathers serialize the gather unit)
+    srcg = jnp.where(filled, src, jnp.arange(cap, dtype=jnp.int32) % T_)
+    cv = jnp.where(filled[None, :], bigv[:, srcg], 0.0)     # (9, cap)
+    ccf = jnp.where(filled[None, :], bigc[:, srcg], 0.0)
+    n_total = jnp.sum(out_m.astype(jnp.int32))
+    n_valid = jnp.minimum(n_total, cap)
+    return cv, ccf, n_valid, n_total
 
 
 def _mesh_chunk_impl(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
@@ -287,36 +326,44 @@ def extract_mesh_device(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
     ``slot_base`` may be traced (the sharded extractor passes each
     device's shard offset); ``n_slots`` must be static.
 
-    Returns (verts (max_tris,3,3), colors (max_tris,3,3), count ()).
+    Returns (verts (9, max_tris+cap), colors (9, max_tris+cap),
+    count (), total ()) — plane layout, row f = vertex b·3 + coordinate
+    k (see mesh_block_chunk). ``total`` counts every valid triangle
+    BEFORE the per-chunk capacity clamp; total > count means some chunk
+    overflowed its cap (callers should warn).
     """
     n_chunks = -(-(n_slots if n_slots is not None else layer.max_blocks)
                  // chunk)
 
-    # per-chunk triangle capacity (mesh_block_chunk front-compacts into it)
-    cap = chunk * (spec.voxels_per_side ** 3) * 3
+    # per-chunk triangle capacity (mesh_block_chunk front-compacts into
+    # it — keep in sync with its ``cap = T_ // 16``)
+    cap = chunk * (spec.voxels_per_side ** 3) * 12 // 16
 
     def body(carry, c):
-        verts_g, cols_g, off = carry
+        verts_g, cols_g, off, total = carry
         slots = slot_base + c * chunk + jnp.arange(chunk, dtype=jnp.int32)
-        v, col, cnt = _mesh_chunk_impl(spec, layer, slots, min_weight)
+        v, col, cnt, n_tot = _mesh_chunk_impl(spec, layer, slots,
+                                              min_weight)
         # chunks are front-compacted → append with ONE contiguous
         # dynamic_update_slice (TPU scatter would serialize); the garbage
         # tail of each window is overwritten by the next chunk and the
         # buffer carries `cap` slack so the window always fits.
         off_c = jnp.minimum(off, max_tris)
-        verts_g = jax.lax.dynamic_update_slice(verts_g, v, (off_c * 9,))
-        cols_g = jax.lax.dynamic_update_slice(cols_g, col, (off_c * 9,))
+        verts_g = jax.lax.dynamic_update_slice(
+            verts_g, v, (jnp.zeros((), jnp.int32), off_c))
+        cols_g = jax.lax.dynamic_update_slice(
+            cols_g, col, (jnp.zeros((), jnp.int32), off_c))
         return (verts_g, cols_g,
-                jnp.minimum(off_c + cnt, max_tris)), None
+                jnp.minimum(off_c + cnt, max_tris), total + n_tot), None
 
     # dead slots (≥ num_blocks) emit nothing inside mesh_block_chunk, so
     # the scan is shape-static and correct for any fill level.
-    init = (jnp.zeros(((max_tris + cap) * 9,), jnp.float32),
-            jnp.zeros(((max_tris + cap) * 9,), jnp.float32),
-            jnp.zeros((), jnp.int32))
-    (verts, cols, count), _ = jax.lax.scan(
+    init = (jnp.zeros((9, max_tris + cap), jnp.float32),
+            jnp.zeros((9, max_tris + cap), jnp.float32),
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    (verts, cols, count, total), _ = jax.lax.scan(
         body, init, jnp.arange(n_chunks, dtype=jnp.int32))
-    return verts, cols, count
+    return verts, cols, count, total
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -331,8 +378,8 @@ def _quantize_mesh_device(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
     half-voxel the reference wire accepts), colors → u8. ~5.3× fewer
     bytes on the link.
 
-    verts/cols: flat (N·9,) as produced by extract_mesh_device.
-    → (qverts u16 (N·9,), qcols u8 (N·9,), aabb_min (3,), scale ())."""
+    verts/cols: (9, M) planes as produced by extract_mesh_device.
+    → (qverts u16 (9,M), qcols u8 (9,M), aabb_min (3,), scale ())."""
     mb = layer.block_coords.shape[0]
     live = (jnp.arange(mb) < layer.num_blocks)[:, None]
     bc = layer.block_coords
@@ -341,10 +388,9 @@ def _quantize_mesh_device(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
     mn = mn_b.astype(jnp.float32) * spec.block_size
     mx = mx_b.astype(jnp.float32) * spec.block_size
     scale = jnp.maximum(jnp.max(mx - mn) / 65535.0, 1e-6)
-    mn9 = jnp.tile(mn, 3)                              # xyz pattern per 9
-    q = jnp.clip((verts.reshape(-1, 9) - mn9[None, :]) / scale,
-                 0.0, 65535.0)
-    q = jnp.round(q).astype(jnp.uint16).reshape(-1)
+    mn9 = jnp.tile(mn, 3)                    # plane f holds coord f % 3
+    q = jnp.clip((verts - mn9[:, None]) / scale, 0.0, 65535.0)
+    q = jnp.round(q).astype(jnp.uint16)
     qc = jnp.round(jnp.clip(cols * 255.0, 0.0, 255.0)).astype(jnp.uint8)
     return q, qc, mn, scale
 
@@ -359,20 +405,31 @@ def extract_mesh(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
     u8 colors and dequantizes host-side — ~5.3× less link traffic at
     ≤ extent/65535 position error (see _quantize_mesh_device); pass
     False for bit-exact f32 readback."""
-    from ..utils.hostops import bucket_slice
+    from ..utils.hostops import bucket_slice_cols
 
-    verts, cols, cnt = extract_mesh_device(spec, layer, min_weight, chunk,
-                                           max_tris)
+    verts, cols, cnt, total = extract_mesh_device(spec, layer, min_weight,
+                                                  chunk, max_tris)
     k = int(cnt)
+    n_total = int(total)
+    if n_total > k:
+        import warnings
+        warnings.warn(
+            f"mesh extraction dropped {n_total - k} triangles: a chunk "
+            "overflowed its per-chunk capacity (pathologically dense "
+            "chunk) or max_tris was reached — raise max_tris or lower "
+            "chunk", RuntimeWarning, stacklevel=2)
     if k == 0:
         return np.zeros((0, 3, 3), np.float32), np.zeros((0, 3, 3), np.float32)
     if quantize:
         qv, qc, mn, scale = _quantize_mesh_device(spec, layer, verts, cols)
         mn = np.asarray(mn, np.float32)
         s = float(scale)
-        v = (bucket_slice(qv, k * 9).reshape(-1, 9).astype(np.float32)
-             * s + np.tile(mn, 3)[None, :])
-        c = bucket_slice(qc, k * 9).astype(np.float32) / 255.0
-        return v.reshape(-1, 3, 3), c.reshape(-1, 3, 3)
-    return (bucket_slice(verts, k * 9).reshape(-1, 3, 3),
-            bucket_slice(cols, k * 9).reshape(-1, 3, 3))
+        v = (bucket_slice_cols(qv, k).T.astype(np.float32) * s
+             + np.tile(mn, 3)[None, :])
+        c = bucket_slice_cols(qc, k).T.astype(np.float32) / 255.0
+        return (np.ascontiguousarray(v).reshape(-1, 3, 3),
+                np.ascontiguousarray(c).reshape(-1, 3, 3))
+    v = bucket_slice_cols(verts, k).T
+    c = bucket_slice_cols(cols, k).T
+    return (np.ascontiguousarray(v).reshape(-1, 3, 3),
+            np.ascontiguousarray(c).reshape(-1, 3, 3))

@@ -178,7 +178,7 @@ def extract_mesh_sharded(spec: vx.VoxelGridSpec, mesh: Mesh,
 
     → (verts (T,3,3) f32, colors (T,3,3) f32) numpy, like extract_mesh."""
     from ..ops import mesh as mesh_ops
-    from ..utils.hostops import bucket_slice
+    from ..utils.hostops import bucket_slice_cols
 
     axis = mesh.axis_names[0]
     D = int(np.prod(mesh.devices.shape))
@@ -186,7 +186,7 @@ def extract_mesh_sharded(spec: vx.VoxelGridSpec, mesh: Mesh,
     bases = jnp.arange(D, dtype=jnp.int32) * mbd
 
     def shard_fn(base, layer):
-        v, c, n = mesh_ops.extract_mesh_device(
+        v, c, n, _total = mesh_ops.extract_mesh_device(
             spec, layer, min_weight, chunk, max_tris_per_device,
             slot_base=base[0], n_slots=mbd)
         return v[None], c[None], n[None]
@@ -205,8 +205,11 @@ def extract_mesh_sharded(spec: vx.VoxelGridSpec, mesh: Mesh,
         k = int(counts[d])
         if k == 0:
             continue
-        pv.append(np.asarray(bucket_slice(verts[d], k * 9)).reshape(-1, 3, 3))
-        pc.append(np.asarray(bucket_slice(cols[d], k * 9)).reshape(-1, 3, 3))
+        # per-device buffers are (9, M) planes (ops.mesh round-4 layout)
+        pv.append(np.ascontiguousarray(
+            bucket_slice_cols(verts[d], k).T).reshape(-1, 3, 3))
+        pc.append(np.ascontiguousarray(
+            bucket_slice_cols(cols[d], k).T).reshape(-1, 3, 3))
     if not pv:
         return (np.zeros((0, 3, 3), np.float32),
                 np.zeros((0, 3, 3), np.float32))

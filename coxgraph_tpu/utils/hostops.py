@@ -37,3 +37,19 @@ def bucket_slice(x, n: int) -> np.ndarray:
                                                             axis=0))
         _SLICE_CACHE[key] = fn
     return np.asarray(fn(x))[:n]
+
+
+def bucket_slice_cols(x, n: int) -> np.ndarray:
+    """First n COLUMNS of a 2-D device array as numpy (bucketed like
+    bucket_slice) — for plane-layout buffers whose minor axis is the
+    item axis (e.g. the mesher's (9, M) triangle planes)."""
+    if n <= 0:
+        return np.zeros(x.shape[:-1] + (0,), x.dtype)
+    kb = min(1 << (n - 1).bit_length(), x.shape[-1])
+    key = ("cols", x.shape, str(x.dtype), kb)
+    fn = _SLICE_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(lambda a, _kb=kb: jax.lax.slice_in_dim(
+            a, 0, _kb, axis=x.ndim - 1))
+        _SLICE_CACHE[key] = fn
+    return np.asarray(fn(x))[..., :n]

@@ -113,7 +113,10 @@ def test_sharded_mesh_extraction_matches_sequential():
     v_sh, c_sh = ms.extract_mesh_sharded(SPEC, mesh, fused,
                                          min_weight=0.05,
                                          max_tris_per_device=100_000)
-    v_sq, c_sq = mesh_ops.extract_mesh(SPEC, fused, min_weight=0.05)
+    # quantize=False: the set comparison keys centroids at 0.1 mm, finer
+    # than the default readback quantization LSB
+    v_sq, c_sq = mesh_ops.extract_mesh(SPEC, fused, min_weight=0.05,
+                                       quantize=False)
     assert v_sh.shape == v_sq.shape and v_sh.shape[0] > 100
     # same triangles (order may differ across shards) — compare as sets
     # keyed by centroid
