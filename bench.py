@@ -58,7 +58,7 @@ def ensure_frames(timeout=600) -> bool:
     return os.path.exists(FRAMES)
 
 
-def run_tsdf(cpu: bool, n_frames: int) -> float:
+def run_tsdf(cpu: bool, n_frames: int, with_stages: bool = False) -> dict:
     from coxgraph_tpu.utils import runtime
     if cpu:
         runtime.force_cpu(1)
@@ -69,10 +69,20 @@ def run_tsdf(cpu: bool, n_frames: int) -> float:
     from coxgraph_tpu.eval import benchmarks as bm
 
     depths, colors, traj = bm.load_frames(FRAMES)
-    fps = bm.tsdf_benchmark(depths, colors, traj, n_frames=n_frames)
+    out = {"fps": bm.tsdf_benchmark(depths, colors, traj,
+                                    n_frames=n_frames)}
     print(f"# backend={jax.default_backend()} frames={n_frames} "
-          f"fps={fps:.1f}", file=sys.stderr)
-    return fps
+          f"fps={out['fps']:.1f}", file=sys.stderr)
+    if with_stages:
+        # stage metrics ride the same process/attempt; a stage failure
+        # must not cost the headline number
+        try:
+            out.update(bm.stage_benchmark(depths[:n_frames],
+                                          colors[:n_frames],
+                                          traj[:n_frames]))
+        except Exception as e:  # noqa: BLE001
+            print(f"# stage metrics failed: {e}", file=sys.stderr)
+    return out
 
 
 def cpu_baseline() -> float:
@@ -148,13 +158,12 @@ def main():
     if args.cpu_baseline:
         if not ensure_frames():
             sys.exit(1)
-        fps = run_tsdf(cpu=True, n_frames=min(args.frames, 8))
-        print(json.dumps({"fps": fps}))
+        print(json.dumps(run_tsdf(cpu=True, n_frames=min(args.frames, 8))))
         return
 
     if args.tpu_run:
-        fps = run_tsdf(cpu=False, n_frames=args.frames)
-        print(json.dumps({"fps": fps}))
+        print(json.dumps(run_tsdf(cpu=False, n_frames=args.frames,
+                                  with_stages=True)))
         return
 
     if args.solve_run:
@@ -174,6 +183,7 @@ def main():
         return deadline - time.monotonic()
 
     fps = None
+    stages = {}
     solve = None
     attempt = 0
     while remaining() > 10:
@@ -194,9 +204,10 @@ def main():
                 continue
             sys.stderr.write(out.stderr)
             if out.returncode == 0 and out.stdout.strip():
-                fps = json.loads(
-                    out.stdout.strip().splitlines()[-1])["fps"]
-                record_onchip("ok", tsdf_fps=round(fps, 2))
+                tsdf = json.loads(out.stdout.strip().splitlines()[-1])
+                fps = tsdf.pop("fps")
+                stages = tsdf        # esdf_ms / mesh_extract_ms / union
+                record_onchip("ok", tsdf_fps=round(fps, 2), **stages)
             else:
                 print(f"bench: TSDF attempt {attempt} rc={out.returncode}",
                       file=sys.stderr)
@@ -234,12 +245,15 @@ def main():
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / base, 2),
     }
+    extra = dict(stages)
     if solve is not None:
-        result["extra_metrics"] = {
+        extra.update({
             "two_phase_optimize_s": round(solve["solve_s"], 3),
             "solve_submaps": solve["submaps"],
             "solve_pairs": solve["pairs"],
-        }
+        })
+    if extra:
+        result["extra_metrics"] = extra
     print(json.dumps(result))
 
 

@@ -221,6 +221,19 @@ def allocate_and_slots(spec: VoxelGridSpec, flat_index: Array,
     lowering); violating it is silent pool corruption. Guarded by a
     debug check in the consumers under jax.debug_nans-style opt-in:
     see ops.tsdf.integrate_frame_stacked_impl."""
+    t_cells = candidate_cells(spec, grid_slots, valid, max_touched)
+    return allocate_cells(spec, flat_index, block_coords, num_blocks,
+                          t_cells)
+
+
+def candidate_cells(spec: VoxelGridSpec, grid_slots: Array, valid: Array,
+                    max_touched: int) -> Array:
+    """Pure candidate compaction half of allocate_and_slots: sort +
+    first-occurrence dedup + top_k of the K smallest unique cell ids →
+    t_cells (K,) ascending, g³-padded. STATELESS and per-frame
+    independent — the windowed integrator vmaps it over all frames in
+    one batched op (the sorts/top_k were the dominant cost of the
+    per-frame allocation scan; docs/PERFORMANCE.md round 4)."""
     g3 = spec.grid_dim ** 3
     K = max_touched
 
@@ -234,6 +247,16 @@ def allocate_and_slots(spec: VoxelGridSpec, flat_index: Array,
     t_cells = -jax.lax.top_k(jnp.where(uniq, -ids, -g3), k_eff)[0]
     if k_eff < K:
         t_cells = jnp.pad(t_cells, (0, K - k_eff), constant_values=g3)
+    return t_cells
+
+
+def allocate_cells(spec: VoxelGridSpec, flat_index: Array,
+                   block_coords: Array, num_blocks: Array, t_cells: Array):
+    """Sequential allocation half of allocate_and_slots (small K-sized
+    ops only): gather the block index at the compacted cells, assign
+    consecutive pool slots to new ones, return per-call touched slots.
+    → (flat_index, block_coords, num_blocks, slots (K,), mask (K,))."""
+    g3 = spec.grid_dim ** 3
     t_mask = t_cells < g3
 
     # new-cell detection: K-gather of the block index at the compacted

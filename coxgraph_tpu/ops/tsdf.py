@@ -61,11 +61,14 @@ class TsdfIntegratorConfig:
     alloc_band_samples: int = 3     # depth samples across the trunc band
     alloc_stride: int = 4           # pixel stride of the allocation pass
     #  (a block spans ≥16 voxels ≈ many pixels — ~40 px even at 10 m
-    #   range with 5 cm voxels — so stride-4 sampling cannot miss one and
-    #   cuts the allocation-pass candidate count 16x; the voxblox "fast"
-    #   integrator makes the same trade with subsampled rays. The
-    #   candidate count drives the touched-bitmap scatter, which XLA
-    #   lowers via sort.)
+    #   range with 5 cm voxels at 640×480 — so strided sampling cannot
+    #   miss one and cuts the allocation-pass candidate count stride²×;
+    #   the voxblox "fast" integrator makes the same trade with
+    #   subsampled rays. The candidate count drives the dedup sorts
+    #   (3.1 ms of a 35 ms 30-frame window at stride 4, round-4 trace).
+    #   SCALE WITH RESOLUTION: 8 is safe at 640×480 (the bench config
+    #   uses it; ≥5 samples per block footprint), but at 80×60 test
+    #   scale stride 8 visibly under-allocates — keep 4 as the default.)
     use_dropoff: bool = True        # linear weight drop-off behind surface
     use_distance_weight: bool = True  # 1/z² observation weighting
     update_chunk_blocks: int = 512  # blocks per update dispatch
@@ -358,13 +361,50 @@ def _integrate_window_pallas(spec: vx.VoxelGridSpec,
     K8 = K + ((-K) % pallas_tsdf.GROUP)
     U = min(cfg.window_union_blocks, mb, F * K8)
 
-    # ---- per-frame allocation (small arrays only) ----------------------
-    def alloc_body(lay, fr):
-        d, T = fr
-        lay, slots, mask, bc_k = _alloc_pass(spec, cfg, intr, lay, k, d, T)
-        return lay, (slots, mask, bc_k[slots])
-    layers, (slots_f, mask_f, coords_f) = jax.lax.scan(
-        alloc_body, layers, (depths, T_sm_cams))
+    # ---- per-frame allocation --------------------------------------
+    # The candidate compaction (decimate + projection + sort + top_k) is
+    # per-frame INDEPENDENT → one batched vmap op instead of 30
+    # sequential copies inside the scan (the sorts were 3.1 + 1.6 ms of
+    # the 6.8 ms round-3 alloc scan). Only the genuinely sequential
+    # slot assignment stays in the scan, on K-sized arrays, with the
+    # submap's index grid hoisted out (one slice + one write per window
+    # instead of per frame). Bit-identical to the sequential form.
+    g3 = spec.grid_dim ** 3
+
+    def frame_cands(d, T):
+        gs, cv = _alloc_candidates_soa(spec, cfg, intr, d, T)
+        return vx.candidate_cells(spec, gs, cv, K)
+    t_cells_f = jax.vmap(frame_cands)(depths, T_sm_cams)      # (F, K)
+
+    bi_k = layers.block_index[k].reshape(g3)
+    bc_k0 = layers.block_coords[k]
+    nb_k = layers.num_blocks[k]
+
+    def alloc_body(carry, t_cells):
+        bi, bc, nb = carry
+        bi, bc, nb, slots, mask = vx.allocate_cells(spec, bi, bc, nb,
+                                                    t_cells)
+        slots = jnp.minimum(slots, mb - 1)
+        return (bi, bc, nb), (slots, mask, bc[slots])
+
+    (bi_k, bc_k, nb_k), (slots_f, mask_f, coords_f) = jax.lax.scan(
+        alloc_body, (bi_k, bc_k0, nb_k), t_cells_f)
+    layers = dataclasses.replace(
+        layers,
+        block_index=layers.block_index.at[k].set(
+            bi_k.reshape(layers.block_index.shape[1:])),
+        block_coords=layers.block_coords.at[k].set(bc_k),
+        num_blocks=layers.num_blocks.at[k].set(nb_k),
+    )
+    if _DEBUG_UNIQUE_SLOTS:
+        def _assert_unique_f(s, m):
+            import numpy as _np
+            for r in range(s.shape[0]):
+                live = _np.asarray(s[r])[_np.asarray(m[r])]
+                if len(_np.unique(live)) != len(live):
+                    raise AssertionError(
+                        "allocate_cells returned duplicate mask-True slots")
+        jax.debug.callback(_assert_unique_f, slots_f, mask_f)
     if K8 != K:
         slots_f = jnp.pad(slots_f, ((0, 0), (0, K8 - K)))
         mask_f = jnp.pad(mask_f, ((0, 0), (0, K8 - K)))

@@ -75,13 +75,23 @@ def _accumulate_one(spec: vx.VoxelGridSpec, src_spec: vx.VoxelGridSpec,
                     acc_wc: Array):
     """Scatter-add one source's (w, w·sdf, w·color) contribution at the
     destination voxel centers (the merge_layer_into resampling math)."""
+    from ..ops.merge import _packed_trilinear
+
     cand, cv = _candidate_dst_blocks(spec, src_spec, src, T_dst_src)
     slots, smask = tsdf_ops.touched_block_slots(spec, dst, cand, cv,
                                                 max_touched)
     coords = dst.block_coords[slots]
     centers = vx.voxel_centers_of_block(spec, coords)        # (K,v,v,v,3)
     p_src = geo.transform_points(geo.inverse(T_dst_src), centers)
-    s_sdf, s_w, s_ok = vx.sample_tsdf_trilinear(src_spec, src, p_src)
+    # same bf16-packed sampler as merge_layer_into — half the gather
+    # count AND bit-identical fields between sharded and sequential
+    # merges (the equality test pins them together)
+    s16 = jax.lax.bitcast_convert_type(
+        src.sdf.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    w16 = jax.lax.bitcast_convert_type(
+        src.weight.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    packed = ((s16 << 16) | w16).reshape(-1)
+    s_sdf, s_w, s_ok = _packed_trilinear(src_spec, src, packed, p_src)
 
     v3 = spec.voxels_per_side ** 3
     sv = src_spec.voxels_per_side
