@@ -206,16 +206,25 @@ def encode_submap_mesh(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
                        keyframe_stride: int = 4,
                        min_weight: float = 1e-4,
                        cluster_scale: float = 1.5,
-                       max_obs_runs: int = 2) -> MeshWithHistory:
+                       max_obs_runs: int = 2,
+                       soup=None) -> MeshWithHistory:
     """Submap → MeshWithHistory: extract the mesh, vertex-cluster it to
     ≈cluster_scale·voxel_size, subsample the pose history into keyframes,
     and record every face's run-length observation history (the contiguous
     keyframe ranges whose frustum sees its centroid — the reference's
     per-triangle [start,end] pairs, mesh_converter.h:137-142). Replaces
     the voxblox mesh_with_history emission consumed at
-    tsdf_recover.h:119-136."""
-    soup_v, soup_c = mesh_ops.extract_mesh(spec, layer,
-                                           min_weight=min_weight)
+    tsdf_recover.h:119-136.
+
+    ``soup``: optional precomputed (verts (T,3,3), colors (T,3,3))
+    triangle soup — pass an IncrementalMesher's cached mesh to skip the
+    full-layer re-extraction (the reference's MeshIntegrator hands the
+    converter its incrementally-maintained mesh layer the same way)."""
+    if soup is not None:
+        soup_v, soup_c = soup
+    else:
+        soup_v, soup_c = mesh_ops.extract_mesh(spec, layer,
+                                               min_weight=min_weight)
     mesh = mesh_post.connect_soup(soup_v, soup_c)
     mesh = mesh_post.simplify_vertex_clustering(
         mesh, cluster_scale * spec.voxel_size)

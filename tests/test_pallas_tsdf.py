@@ -181,14 +181,19 @@ def test_window_union_overflow_is_contained(monkeypatch):
     stacked = jax.tree.map(lambda x: x[None], layer)
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        stacked, (n_union, n_dropped) = tsdf_ops.integrate_window_stacked_impl(
-            SPEC, cfg, INTR, stacked, jnp.asarray(0), depths,
-            colors, jnp.stack(list(traj)), return_stats=True)
+        stacked, (n_union, n_dropped, updated) = (
+            tsdf_ops.integrate_window_stacked_impl(
+                SPEC, cfg, INTR, stacked, jnp.asarray(0), depths,
+                colors, jnp.stack(list(traj)), return_stats=True))
         jax.effects_barrier()
         saturated = [x for x in w if "window union" in str(x.message)]
     assert saturated, "union-overflow warning must fire without debug env"
     assert int(n_union) > 8
     assert int(n_dropped) == int(n_union) - 8
+    # the updated-block bitmap reports what actually changed: the
+    # capacity-clamped selection, not the raw union (dropped blocks'
+    # cached mesh chunks are still current)
+    assert int(jnp.sum(updated)) == 8
     out = jax.tree.map(lambda x: x[0], stacked)
     wgt = np.asarray(out.weight).reshape(-1, SPEC.voxels_per_side ** 3)
     updated_rows = (wgt > 0).any(axis=1).sum()
