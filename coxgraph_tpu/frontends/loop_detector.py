@@ -37,6 +37,12 @@ class LoopDetectorConfig:
     min_inliers: int = 15              # RANSAC gate (SAC threshold analog)
     min_time_separation: float = 3.0   # s, same-robot loop gate
     max_candidates: int = 2            # verified per new keyframe
+    # minimum planar spread (m) of the RANSAC inlier cloud: concentrated
+    # inliers (one texture patch) make the rigid fit rotation-degenerate
+    # and the closure ~10× less accurate than its inlier count suggests
+    # (measured on tests/fixtures/tum_real; see
+    # features.estimate_relative_pose). 0 disables.
+    min_inlier_spread: float = 0.4
     keyframe_stride: float = 0.5       # s between stored keyframes
     sqrt_info: float = 10.0            # emitted measurement weight — the
     #  MapFusion message carries a 6x6 information matrix
@@ -128,9 +134,10 @@ class LoopDetector:
         for rank, (s, kf) in enumerate(scored[:self.cfg.max_candidates]):
             k = (jax.random.PRNGKey(len(self.keyframes) * 97 + rank)
                  if key is None else jax.random.fold_in(key, rank))
-            T_a_b, n_inl = ft.estimate_relative_pose(
-                kf.kp, kp, self.cfg.features, key=k)
-            if int(n_inl) >= self.cfg.min_inliers:
+            T_a_b, n_inl, spread = ft.estimate_relative_pose(
+                kf.kp, kp, self.cfg.features, key=k, return_spread=True)
+            if (int(n_inl) >= self.cfg.min_inliers
+                    and float(spread) >= self.cfg.min_inlier_spread):
                 si = (self.cfg.sqrt_info * jnp.eye(6)
                       if self.cfg.sqrt_info > 0 else None)
                 msgs.append(MapFusionMsg(

@@ -52,6 +52,12 @@ class MapperConfig:
     submap_interval: float = 10.0     # s (coxgraph_client.yaml:5)
     max_constraints: int = 256
     odom_sqrt_info: float = 20.0      # odometry constraint confidence
+    # solver settings for the LOCAL pose-graph solve (optimize_local /
+    # receive_loop_closure) — set huber_delta > 0 to robustify against
+    # outlier loop closures from real-sensor feature matching (the
+    # reference wraps its Ceres loop costs in robust kernels the same
+    # way); explicit solver_cfg arguments override
+    local_solver: "pg.SolverConfig" = None
     # Absolute height priors on submap poses (odom z at submap creation;
     # gravity-aligned VIO makes it an absolute measurement). 0 = off.
     # Purely relative chain+loop constraints admit a pitch+z drift
@@ -536,9 +542,7 @@ class HostMapper:
         service, finish_experiment.sh:3-4)."""
         self._consume_pending_stats()
         if self.n_submaps > 1:
-            self.state = optimize_local(
-                self.cfg, self.state,
-                solver_cfg if solver_cfg is not None else pg.SolverConfig())
+            self.state = optimize_local(self.cfg, self.state, solver_cfg)
         self.union_saturation()
         self.mapping_enabled = False
 
@@ -638,10 +642,15 @@ class HostMapper:
 
 
 def optimize_local(cfg: MapperConfig, state: MapperState,
-                   solver_cfg: pg.SolverConfig = pg.SolverConfig()) -> MapperState:
+                   solver_cfg: Optional[pg.SolverConfig] = None) -> MapperState:
     """Run the local pose graph over submap poses (voxgraph's per-submap
     PGO; constraints = odometry chain + any added loop closures, plus
-    absolute height priors when cfg.height_prior_stddev > 0)."""
+    absolute height priors when cfg.height_prior_stddev > 0).
+
+    ``solver_cfg`` defaults to cfg.local_solver (robust-kernel settings
+    live there), falling back to pg.SolverConfig()."""
+    if solver_cfg is None:
+        solver_cfg = cfg.local_solver or pg.SolverConfig()
     res = pg.optimize(state.collection.T_odom_submap, state.constraints,
                       solver_cfg,
                       heights=(state.heights
