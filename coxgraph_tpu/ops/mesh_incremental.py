@@ -49,7 +49,7 @@ class IncrementalMesher:
     """
 
     def __init__(self, spec: vx.VoxelGridSpec, chunk: int = 16,
-                 min_weight: float = 1e-4, max_tris: int = 200_000,
+                 min_weight: float = 1e-4, max_tris: int = 500_000,
                  quantize: bool = True):
         self.spec = spec
         self.chunk = chunk
