@@ -691,7 +691,7 @@ def merged_layer(cfg: MapperConfig, col: SubmapCollection,
                 spec = dataclasses.replace(spec, max_blocks=need)
     merged = vx.create_tsdf_layer(spec)
     for k in range(n):
-        merged = merge_ops.merge_layer_into(
+        merged = merge_ops.merge_layer_into_sized(
             spec, merged, _get_layer(col.layers, jnp.asarray(k)),
             col.T_odom_submap[k],
             src_spec=cfg.spec if spec != cfg.spec else None,

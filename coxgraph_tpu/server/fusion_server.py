@@ -899,7 +899,7 @@ class CoxgraphServer:
                         # vs client 0.10 m voxels,
                         # coxgraph_server.launch:5-6) — cross-spec
                         # resampling merge
-                        merged = merge_ops.merge_layer_into(
+                        merged = merge_ops.merge_layer_into_sized(
                             spec, merged, s.layer, poses[s.sid],
                             src_spec=src_spec)
                     verts, cols = mesh_ops.extract_mesh(
@@ -940,8 +940,8 @@ class CoxgraphServer:
             if s.client_id != cid:
                 continue
             T_cli_sm = geo.compose(T_cli_G, s.T_G_submap)
-            merged = merge_ops.merge_layer_into(spec, merged, s.layer,
-                                                T_cli_sm, src_spec=src_spec)
+            merged = merge_ops.merge_layer_into_sized(
+                spec, merged, s.layer, T_cli_sm, src_spec=src_spec)
         return merged
 
     def get_final_global_mesh_postprocessed(
