@@ -75,9 +75,15 @@ class IncrementalMesher:
         self.refresh_chunks([int(i) for i in ids], layer)
         return [int(i) for i in ids]
 
-    def refresh_chunks(self, ids: List[int], layer: vx.TsdfLayer) -> None:
+    def refresh_chunks(self, ids: List[int], layer: vx.TsdfLayer,
+                       _retry: bool = True) -> None:
         """Re-extract the given chunks in one device dispatch and refresh
-        the cache (chunks whose geometry vanished are dropped)."""
+        the cache (chunks whose geometry vanished are dropped). A full
+        triangle buffer AUTO-GROWS (next power of two) and retries once —
+        a pool-saturated submap absorbing extra mission time can outgrow
+        any fixed budget (observed on the endurance soak), and an
+        overflowed buffer means tail chunks overlapped, so the update
+        must be redone, not just warned about."""
         from ..utils.hostops import bucket_slice_cols
 
         ncb = _next_pow2(len(ids))
@@ -92,22 +98,35 @@ class IncrementalMesher:
         offs_h = np.asarray(offs)[:len(ids)]
         cnts_h = np.asarray(cnts)[:len(ids)]
         totals_h = np.asarray(totals)[:len(ids)]
+        # true buffer end = max over chunks (the last chunk may be empty,
+        # and on overflow the clamped running offset parks at exactly
+        # max_tris — offs[-1]+cnts[-1] would miss it)
+        used = int((offs_h + cnts_h).max()) if len(ids) else 0
+        if used > self.max_tris:
+            # the running offset clamped at max_tris: later chunks wrote
+            # overlapping the tail and their cached runs are unreliable —
+            # grow the buffer and redo the whole update (one retry;
+            # totals is pre-clamp, so its sum bounds the true need)
+            if _retry:
+                need = int(totals_h.sum())
+                self.max_tris = 1 << max(need - 1, 1).bit_length()
+                warnings.warn(
+                    "incremental mesh buffer overflowed — grown to "
+                    f"{self.max_tris} triangles and update redone",
+                    RuntimeWarning, stacklevel=3)
+                return self.refresh_chunks(ids, layer, _retry=False)
+            warnings.warn(
+                f"incremental mesh update overflowed its {self.max_tris}-"
+                "triangle buffer; tail chunks overlap — raise "
+                "IncrementalMesher.max_tris", RuntimeWarning, stacklevel=3)
         dropped = int(np.maximum(totals_h - cnts_h, 0).sum())
         if dropped:
             self.dropped_tris += dropped
             warnings.warn(
                 f"incremental mesh update dropped {dropped} triangles "
-                "(per-chunk capacity or max_tris overflow) — raise "
-                "IncrementalMesher.max_tris or lower chunk",
+                "(per-chunk capacity overflow: a pathologically dense "
+                "chunk) — lower IncrementalMesher.chunk",
                 RuntimeWarning, stacklevel=3)
-        used = int(offs_h[-1] + cnts_h[-1]) if len(ids) else 0
-        if used > self.max_tris:
-            # the running offset clamped at max_tris: later chunks wrote
-            # overlapping the tail and their cached runs are unreliable
-            warnings.warn(
-                f"incremental mesh update overflowed its {self.max_tris}-"
-                "triangle buffer; tail chunks overlap — raise "
-                "IncrementalMesher.max_tris", RuntimeWarning, stacklevel=3)
         if used:
             if self.quantize:
                 mn_h = np.asarray(mn, np.float32)

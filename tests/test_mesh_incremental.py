@@ -76,6 +76,26 @@ def test_vanished_geometry_clears_cached_chunks():
     assert v.shape[0] == 0 and m.n_triangles == 0
 
 
+def test_buffer_overflow_autogrows_and_redoes():
+    """A full triangle buffer corrupts tail-chunk runs (the running
+    offset clamps), so the mesher must GROW and redo the update — same
+    self-healing discipline as the pool saturation counters."""
+    import warnings as w
+
+    layer = make_sphere_layer([0.05, -0.02, 0.03], 0.5)
+    m = IncrementalMesher(SPEC, chunk=16, quantize=False, max_tris=256)
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        m.full_rebuild(layer)
+        grown = [x for x in rec if "grown to" in str(x.message)]
+    assert grown, "overflow must grow the buffer"
+    assert m.max_tris > 256
+    v_inc, _ = m.mesh()
+    v_full, _ = mesh_ops.extract_mesh(SPEC, layer, chunk=16,
+                                      quantize=False)
+    assert np.array_equal(v_inc, v_full)
+
+
 def _mapper_cfg():
     spec = vx.VoxelGridSpec(voxel_size=0.1, voxels_per_side=8,
                             grid_dim=32, max_blocks=1024, truncation=0.3)
