@@ -105,7 +105,17 @@ def tsdf_benchmark(depths, colors, traj, n_frames: int | None = None,
     ~25 ms device→host fence round trip amortizes over all windows
     instead of being charged to each (a steady-state robot never blocks
     on a readback per window; round-3's single-window form under-read
-    the rate by ~40 % on the tunnel)."""
+    the rate by ~40 % on the tunnel).
+
+    Re-feeding the same clip does NOT skip allocation work on later
+    windows: the window is ONE fixed jitted program (static shapes,
+    static top_k/scatter work, lax control flow), so its device cost is
+    data-independent — whether allocate_cells finds new or existing
+    blocks, the same ops execute. Measured check (v5e): timing each
+    window on a FRESH map instead reads 319 vs 748 f/s, and the whole
+    delta is the per-state extra fences (~25 ms × 3) plus pool
+    zero-init inside the timed region — harness overhead, not
+    allocation cost (ADVICE r4 follow-up)."""
     import jax
     import jax.numpy as jnp
 

@@ -485,13 +485,25 @@ class HostMapper:
 
     def live_mesher(self, k: int, **kwargs):
         """The incremental mesher bound to submap ``k`` (created on first
-        use; kwargs forwarded to IncrementalMesher on creation)."""
+        use; kwargs forwarded to IncrementalMesher on creation). Config
+        kwargs that CONFLICT with an existing mesher raise — silently
+        returning, say, quantized cached geometry to a quantize=False
+        caller would be a wrong-data bug (ADVICE r4)."""
         from ..ops.mesh_incremental import IncrementalMesher
 
         m = self._meshers.get(k)
         if m is None:
             m = IncrementalMesher(self.cfg.spec, **kwargs)
             self._meshers[k] = m
+        else:
+            for key, val in kwargs.items():
+                if key == "max_tris":   # buffer size may auto-grow
+                    continue
+                if getattr(m, key, val) != val:
+                    raise ValueError(
+                        f"live_mesher({k}) already exists with "
+                        f"{key}={getattr(m, key)!r}; requested {val!r} — "
+                        "per-submap mesher settings are fixed at creation")
         return m
 
     def live_mesh(self, k: Optional[int] = None, **kwargs):
@@ -501,7 +513,13 @@ class HostMapper:
         extract_mesh_chunks_device dispatch). The frame-rate mesh
         streaming path (reference publishSubmapMesh cadence,
         map_server.cpp:119-152) — cost scales with changed geometry, not
-        map size. → (verts (T,3,3), colors (T,3,3)) f32 numpy."""
+        map size. → (verts (T,3,3), colors (T,3,3)) f32 numpy.
+
+        DONATES the mapper state (like step/step_batch): any external
+        alias of ``self.state`` — e.g. an InProcessClient sharing it
+        with an async-PGO server — must call this under that client's
+        lock and rebind ``client.state = mapper.state`` afterwards, or
+        the alias points at deleted buffers."""
         if k is None:
             k = max(self.n_submaps - 1, 0)
         self._consume_pending_stats()   # before donating state
@@ -637,6 +655,12 @@ class HostMapper:
                     self.cfg, self.state, depths[lo:hi],
                     None if colors is None else colors[lo:hi],
                     T_odom_cams[lo:hi], jnp.asarray(ts[lo:hi]))
+        # persist the interval clock even when the last rollover(s) were
+        # saturation-DROPPED (step() does `self.last_start = t` on that
+        # path): leaving it at the last REAL start would re-fire
+        # _rollover_sat every window instead of once per interval —
+        # warning flood + over-counted dropped_submaps
+        self.last_start = last
         self._schedule_stats_check()
         return len(starts)
 

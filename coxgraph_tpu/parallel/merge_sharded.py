@@ -196,20 +196,31 @@ def extract_mesh_sharded(spec: vx.VoxelGridSpec, mesh: Mesh,
     bases = jnp.arange(D, dtype=jnp.int32) * mbd
 
     def shard_fn(base, layer):
-        v, c, n, _total = mesh_ops.extract_mesh_device(
+        v, c, n, total = mesh_ops.extract_mesh_device(
             spec, layer, min_weight, chunk, max_tris_per_device,
             slot_base=base[0], n_slots=mbd)
-        return v[None], c[None], n[None]
+        return v[None], c[None], n[None], total[None]
 
     layer_specs = jax.tree.map(lambda _: P(), layer)
-    verts, cols, cnt = shard_map(
+    verts, cols, cnt, tot = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(axis), layer_specs),
-        out_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
         check_vma=False,
     )(bases, layer)
 
     counts = np.asarray(cnt)
+    # overflow is observable here exactly like the single-device
+    # extract_mesh — a dense shard silently losing triangles was the
+    # failure mode the per-chunk counters were added for (ADVICE r4)
+    n_lost = int(np.maximum(np.asarray(tot) - counts, 0).sum())
+    if n_lost:
+        import warnings
+        warnings.warn(
+            f"sharded mesh extraction dropped {n_lost} triangles (a "
+            "shard overflowed max_tris_per_device or a chunk its "
+            "capacity) — raise max_tris_per_device or lower chunk",
+            RuntimeWarning, stacklevel=2)
     pv, pc = [], []
     for d in range(D):
         k = int(counts[d])

@@ -119,7 +119,12 @@ def collective_payload_bytes(hlo_text: str) -> dict:
     (XLA's AllReduceCombiner merges e.g. the solver's H and b psums into
     one `(f32[...], f32[...]) all-reduce`), and async `-start` forms
     (the matching `-done` re-stages the same payload and is NOT counted
-    again) — ADVICE r3."""
+    again) — ADVICE r3. For `-start` forms the tuple is
+    (operand(s), result[, contexts]) rather than a combined-result
+    tuple, so summing every member double-counts (an all-gather-start's
+    operand is re-listed next to its result); there the LARGEST member
+    is taken as the transfer size — exact for permute/gather/scatter
+    singles, a lower bound ≤ sum for combined async ops — ADVICE r4."""
     import re
 
     shape_re = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
@@ -128,14 +133,15 @@ def collective_payload_bytes(hlo_text: str) -> dict:
         r")(-start)?\(")
     out: dict = {}
     for m in inst_re.finditer(hlo_text):
-        lhs, kind = m.group(1), m.group(2)
-        total = 0
+        lhs, kind, is_start = m.group(1), m.group(2), m.group(3)
+        sizes = []
         for dtype, dims in shape_re.findall(lhs):
             n = 1
             for d in dims.split(","):
                 if d:
                     n *= int(d)
-            total += n * _DTYPE_BYTES.get(dtype, 4)
+            sizes.append(n * _DTYPE_BYTES.get(dtype, 4))
+        total = (max(sizes) if is_start else sum(sizes)) if sizes else 0
         if total:
             out[kind] = out.get(kind, 0) + total
     return out

@@ -18,6 +18,7 @@ import threading
 import time
 from typing import Dict, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -838,7 +839,12 @@ class CoxgraphServer:
         cap = self.cfg.merge_pool_growth_cap
         if cap <= 0 or not layers:
             return spec
-        total = sum(int(l.num_blocks) for l in layers)
+        # ONE batched device_get — a per-layer int() here is a serial
+        # tunnel round trip per submap (ADVICE r4; CLAUDE.md host
+        # discipline)
+        total = int(sum(
+            np.asarray(x) for x in
+            jax.device_get([l.num_blocks for l in layers])))
         if total <= spec.max_blocks:
             return spec
         need = 1 << (total - 1).bit_length()

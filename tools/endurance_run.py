@@ -200,8 +200,13 @@ def main():
                     if server.map_fusion(mf):
                         n_fusions += 1
         server.process_mf_future()
-        # incremental live mesh of robot 0 (the streaming path)
-        viewer.update_from_mapper(mappers[0])
+        # incremental live mesh of robot 0 (the streaming path);
+        # live_mesh DONATES mapper state, so run under the client lock
+        # and rebind the alias (ADVICE r4 — the async PGO thread reads
+        # clients[0].state)
+        with clients[0].lock:
+            viewer.update_from_mapper(mappers[0])
+            clients[0].state = mappers[0].state
         live_updates += 1
         print(f"lap {lap + 1}/{args.laps}: fusions {n_fusions}, "
               f"server submaps {len(server.submaps)}, "
