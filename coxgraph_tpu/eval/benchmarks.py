@@ -193,6 +193,25 @@ def stage_benchmark(depths, colors, traj) -> dict:
     v, c = mesh_ops.extract_mesh(cfg.spec, layer, min_weight=0.1)
     out["mesh_extract_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
     out["mesh_tris"] = int(v.shape[0])
+
+    # layer merge (the final-global-mesh serving stage, sized working
+    # set — round-4 merge_layer_into_sized)
+    from ..core import geometry as geo, voxel as vx
+    from ..ops import merge as merge_ops
+    import dataclasses as _dc
+
+    dst_spec = _dc.replace(cfg.spec, max_blocks=2 * cfg.spec.max_blocks)
+    pose = geo.identity()
+    dst = merge_ops.merge_layer_into_sized(
+        dst_spec, vx.create_tsdf_layer(dst_spec), layer, pose,
+        src_spec=cfg.spec)                                  # warm
+    float(jnp.sum(dst.weight))
+    t0 = time.perf_counter()
+    dst = merge_ops.merge_layer_into_sized(
+        dst_spec, vx.create_tsdf_layer(dst_spec), layer, pose,
+        src_spec=cfg.spec)
+    float(jnp.sum(dst.weight))                              # fence
+    out["merge_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
     return out
 
 
