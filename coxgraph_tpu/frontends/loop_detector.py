@@ -74,6 +74,15 @@ def _batched_match_counts(db_desc, db_valid, q_desc, q_valid,
     return jax.vmap(one)(db_desc, db_valid)
 
 
+@jax.jit
+def _db_append(db_desc, db_valid, desc, valid, n):
+    """In-place keyframe append at traced slot n (one cached program per
+    capacity bucket — an eager update would bake n as a constant and
+    recompile per keyframe on remote TPUs)."""
+    return (jax.lax.dynamic_update_index_in_dim(db_desc, desc, n, 0),
+            jax.lax.dynamic_update_index_in_dim(db_valid, valid, n, 0))
+
+
 class LoopDetector:
     """Shared multi-robot keyframe database (the reference runs one such
     backend fed by every robot's keyframes)."""
@@ -84,27 +93,49 @@ class LoopDetector:
         self.cfg = cfg
         self.keyframes: List[Keyframe] = []
         self._last_kf_time: dict[int, float] = {}
+        # DEVICE-RESIDENT descriptor database, appended in place: the
+        # old form rebuilt a (cap, K, 8) numpy array and re-uploaded it
+        # EVERY keyframe — 12.6 MB of host assembly + transfer per call,
+        # measured 255 ms/keyframe at db=32 on the tunnel and growing
+        # with the database (round-4). Pow2 capacity buckets keep the
+        # append/match jit caches bounded.
+        self._db_desc = None      # (cap, K, 8) u32
+        self._db_valid = None     # (cap, K) bool
 
     def _score(self, kp_a: ft.Keypoints, kp_b: ft.Keypoints) -> int:
         mb, _ = ft.match_descriptors(kp_a, kp_b, self.cfg.features)
         return int((mb >= 0).sum())
 
+    def _append_db(self, kp: ft.Keypoints) -> None:
+        """Append one keyframe's descriptors to the device database
+        (in-place dynamic update; capacity doubles at pow2 boundaries)."""
+        n = len(self.keyframes)       # slot of the entry being added
+        K = self.cfg.features.max_keypoints
+        cap = 0 if self._db_desc is None else self._db_desc.shape[0]
+        if n >= cap:
+            new_cap = max(64, 2 * cap)
+            if self._db_desc is None:
+                self._db_desc = jnp.zeros((new_cap, K, ft._N_WORDS),
+                                          jnp.uint32)
+                self._db_valid = jnp.zeros((new_cap, K), jnp.bool_)
+            else:
+                grow = new_cap - cap
+                self._db_desc = jnp.pad(self._db_desc,
+                                        ((0, grow), (0, 0), (0, 0)))
+                self._db_valid = jnp.pad(self._db_valid, ((0, grow), (0, 0)))
+        self._db_desc, self._db_valid = _db_append(
+            self._db_desc, self._db_valid, kp.desc, kp.valid,
+            jnp.asarray(n, jnp.int32))
+
     def _score_all(self, kp: ft.Keypoints) -> np.ndarray:
-        """Match the query against the WHOLE database in one padded jitted
-        dispatch (remote-TPU friendly: one sync instead of one per
-        keyframe). Returns (n_keyframes,) good-match counts."""
+        """Match the query against the WHOLE device-resident database in
+        one jitted dispatch (remote-TPU friendly: one sync, no per-call
+        re-upload). Returns (n_keyframes,) good-match counts."""
         n = len(self.keyframes)
         if n == 0:
             return np.zeros((0,), np.int32)
-        cap = 1 << (n - 1).bit_length()        # pad → O(log n) compiles
-        K = self.cfg.features.max_keypoints
-        db_desc = np.zeros((cap, K, ft._N_WORDS), np.uint32)
-        db_valid = np.zeros((cap, K), bool)
-        for i, kf in enumerate(self.keyframes):
-            db_desc[i] = np.asarray(kf.kp.desc)
-            db_valid[i] = np.asarray(kf.kp.valid)
         counts = _batched_match_counts(
-            jnp.asarray(db_desc), jnp.asarray(db_valid), kp.desc, kp.valid,
+            self._db_desc, self._db_valid, kp.desc, kp.valid,
             self.cfg.features)
         return np.asarray(counts)[:n]
 
@@ -136,6 +167,9 @@ class LoopDetector:
                  if key is None else jax.random.fold_in(key, rank))
             T_a_b, n_inl, spread = ft.estimate_relative_pose(
                 kf.kp, kp, self.cfg.features, key=k, return_spread=True)
+            # ONE device→host readback for both gate scalars — separate
+            # int()/float() pulls are a ~25 ms tunnel round trip EACH
+            n_inl, spread = jax.device_get((n_inl, spread))
             if (int(n_inl) >= self.cfg.min_inliers
                     and float(spread) >= self.cfg.min_inlier_spread):
                 si = (self.cfg.sqrt_info * jnp.eye(6)
@@ -145,5 +179,6 @@ class LoopDetector:
                     to_client=client_id, to_time=t, T_from_to=T_a_b,
                     sqrt_info=si))
 
+        self._append_db(kp)
         self.keyframes.append(Keyframe(client_id=client_id, t=t, kp=kp))
         return msgs

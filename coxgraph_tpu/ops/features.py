@@ -275,6 +275,7 @@ def ransac_rigid(pa: Array, pb: Array, valid: Array,
     return RansacResult(T_b_a=T2, n_inliers=inl1.sum(), inlier_mask=inl1)
 
 
+@partial(jax.jit, static_argnames=("cfg", "return_spread"))
 def estimate_relative_pose(kp_a: Keypoints, kp_b: Keypoints,
                            cfg: FeatureConfig = FeatureConfig(),
                            key: Array = None, return_spread: bool = False):
