@@ -202,14 +202,18 @@ def stage_benchmark(depths, colors, traj) -> dict:
 
     dst_spec = _dc.replace(cfg.spec, max_blocks=2 * cfg.spec.max_blocks)
     pose = geo.identity()
+    # destination layers built OUTSIDE the timed region (the merge
+    # donates its dst, so the warm and timed calls each need a fresh
+    # one) — the ~167 MB pool zero-fill is layer creation, not merge
+    dst_warm = vx.create_tsdf_layer(dst_spec)
+    dst_timed = vx.create_tsdf_layer(dst_spec)
+    jax.block_until_ready(dst_timed.weight)
     dst = merge_ops.merge_layer_into_sized(
-        dst_spec, vx.create_tsdf_layer(dst_spec), layer, pose,
-        src_spec=cfg.spec)                                  # warm
+        dst_spec, dst_warm, layer, pose, src_spec=cfg.spec)  # warm
     float(jnp.sum(dst.weight))
     t0 = time.perf_counter()
     dst = merge_ops.merge_layer_into_sized(
-        dst_spec, vx.create_tsdf_layer(dst_spec), layer, pose,
-        src_spec=cfg.spec)
+        dst_spec, dst_timed, layer, pose, src_spec=cfg.spec)
     float(jnp.sum(dst.weight))                              # fence
     out["merge_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
     return out

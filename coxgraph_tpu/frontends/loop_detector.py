@@ -74,11 +74,13 @@ def _batched_match_counts(db_desc, db_valid, q_desc, q_valid,
     return jax.vmap(one)(db_desc, db_valid)
 
 
-@jax.jit
+@partial(jax.jit, donate_argnums=(0, 1))
 def _db_append(db_desc, db_valid, desc, valid, n):
     """In-place keyframe append at traced slot n (one cached program per
     capacity bucket — an eager update would bake n as a constant and
-    recompile per keyframe on remote TPUs)."""
+    recompile per keyframe on remote TPUs). The database buffers are
+    DONATED so XLA aliases input to output — without it every append
+    device-copies the whole (cap, K, 8) pool (ADVICE r4)."""
     return (jax.lax.dynamic_update_index_in_dim(db_desc, desc, n, 0),
             jax.lax.dynamic_update_index_in_dim(db_valid, valid, n, 0))
 

@@ -483,14 +483,22 @@ class HostMapper:
         self._warn_overflow(wm, dropped)
         return wm, dropped
 
+    _MESHER_KWARGS = ("chunk", "min_weight", "max_tris", "quantize")
+
     def live_mesher(self, k: int, **kwargs):
         """The incremental mesher bound to submap ``k`` (created on first
         use; kwargs forwarded to IncrementalMesher on creation). Config
         kwargs that CONFLICT with an existing mesher raise — silently
         returning, say, quantized cached geometry to a quantize=False
-        caller would be a wrong-data bug (ADVICE r4)."""
+        caller would be a wrong-data bug (ADVICE r4). A kwargs-free call
+        accepts whatever mesher exists (documented: settings are fixed
+        at creation); unknown kwarg names raise instead of being
+        swallowed by the comparison."""
         from ..ops.mesh_incremental import IncrementalMesher
 
+        unknown = set(kwargs) - set(self._MESHER_KWARGS)
+        if unknown:
+            raise TypeError(f"live_mesher: unknown kwargs {sorted(unknown)}")
         m = self._meshers.get(k)
         if m is None:
             m = IncrementalMesher(self.cfg.spec, **kwargs)
@@ -499,7 +507,7 @@ class HostMapper:
             for key, val in kwargs.items():
                 if key == "max_tris":   # buffer size may auto-grow
                     continue
-                if getattr(m, key, val) != val:
+                if getattr(m, key) != val:
                     raise ValueError(
                         f"live_mesher({k}) already exists with "
                         f"{key}={getattr(m, key)!r}; requested {val!r} — "

@@ -119,12 +119,13 @@ def collective_payload_bytes(hlo_text: str) -> dict:
     (XLA's AllReduceCombiner merges e.g. the solver's H and b psums into
     one `(f32[...], f32[...]) all-reduce`), and async `-start` forms
     (the matching `-done` re-stages the same payload and is NOT counted
-    again) — ADVICE r3. For `-start` forms the tuple is
-    (operand(s), result[, contexts]) rather than a combined-result
-    tuple, so summing every member double-counts (an all-gather-start's
-    operand is re-listed next to its result); there the LARGEST member
-    is taken as the transfer size — exact for permute/gather/scatter
-    singles, a lower bound ≤ sum for combined async ops — ADVICE r4."""
+    again) — ADVICE r3. Async `-start` tuple semantics are KIND-AWARE
+    (ADVICE r4): all-reduce-start's tuple members are independent
+    combined payloads (sum them — same accounting as the sync form, the
+    solver's H+b psum being the primary case), while
+    all-gather/collective-permute/reduce-scatter/all-to-all `-start`
+    tuples re-list operand next to result (take the largest member, the
+    transfer size)."""
     import re
 
     shape_re = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
@@ -141,7 +142,8 @@ def collective_payload_bytes(hlo_text: str) -> dict:
                 if d:
                     n *= int(d)
             sizes.append(n * _DTYPE_BYTES.get(dtype, 4))
-        total = (max(sizes) if is_start else sum(sizes)) if sizes else 0
+        dedup = bool(is_start) and kind != "all-reduce"
+        total = (max(sizes) if dedup else sum(sizes)) if sizes else 0
         if total:
             out[kind] = out.get(kind, 0) + total
     return out

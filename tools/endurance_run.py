@@ -182,6 +182,12 @@ def main():
                 sl = slice(w0, w0 + WINDOW)
                 osl = slice(i0, i0 + WINDOW)
                 with clients[r].lock:
+                    # resync FIRST: the async-PGO server rebinds
+                    # client.state on pose pushes / forwarded closures
+                    # (apply_pose_updates, receive_loop_closure) — a
+                    # stale mapper.state rebind would silently revert
+                    # them (ADVICE r4)
+                    mappers[r].state = clients[r].state
                     mappers[r].step_batch(
                         jnp.asarray(depths[r][sl]),
                         jnp.asarray(colors[r][sl]),
@@ -205,6 +211,7 @@ def main():
         # and rebind the alias (ADVICE r4 — the async PGO thread reads
         # clients[0].state)
         with clients[0].lock:
+            mappers[0].state = clients[0].state   # pick up server pushes
             viewer.update_from_mapper(mappers[0])
             clients[0].state = mappers[0].state
         live_updates += 1
@@ -217,6 +224,7 @@ def main():
 
     for r in range(2):
         with clients[r].lock:
+            mappers[r].state = clients[r].state   # pick up server pushes
             mappers[r].finish_map()
             clients[r].state = mappers[r].state
     solve_wall = sum(f.get("solve_wall", 0.0) for f in server.fusion_log)
