@@ -362,3 +362,29 @@ def test_host_mapper_warns_on_submap_saturation():
         n_started = hm2.step_batch(depths, None, Ts,
                                    np.arange(4, dtype=np.float32) * 0.1)
     assert n_started == 2 and hm2.dropped_submaps == 2
+
+
+def test_step_batch_saturation_clock_persists():
+    """A saturation-DROPPED rollover must advance the interval clock
+    like step() does (ADVICE r4): with windows SHORTER than the submap
+    interval, a frozen clock re-fires the drop warning every window —
+    4x over-counted dropped_submaps and a warning flood."""
+    import dataclasses
+    import warnings
+
+    cfg = dataclasses.replace(CFG, max_submaps=1, submap_interval=1.0)
+    hm = sm.HostMapper(cfg)
+    depth = jnp.full((cfg.intrinsics.height, cfg.intrinsics.width), 2.0)
+    depths = jnp.tile(depth[None], (3, 1, 1))
+    Ts = jnp.tile(geo.identity()[None], (3, 1))
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        # 6 windows of 3 frames at 0.1 s → t spans 1.8 s: exactly ONE
+        # rollover is due (t=1.0) after the initial submap, and it drops
+        for w in range(6):
+            ts = (np.arange(3, dtype=np.float32) + 3 * w) * 0.1
+            hm.step_batch(depths, None, Ts, ts)
+        msgs = [x for x in rec if "submap pool saturated" in str(x.message)]
+    assert hm.n_submaps == 1
+    assert hm.dropped_submaps == 1, hm.dropped_submaps
+    assert len(msgs) == 1, len(msgs)
