@@ -155,11 +155,16 @@ def detect_and_describe(intr: PinholeIntrinsics, color: Array, depth: Array,
         dmin = depth
         dmax = depth
         dok = depth > 0
+        # edge-replicated pad instead of jnp.roll: roll WRAPS at image
+        # borders, so an edge-row/column keypoint would compare its 3×3
+        # depth spread against pixels from the opposite image side
+        # (spurious accept/reject when cfg.border < 1 — ADVICE r4)
+        dpad = jnp.pad(depth, 1, mode="edge")
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
                 if dy == 0 and dx == 0:
                     continue
-                s = jnp.roll(depth, (dy, dx), (0, 1))
+                s = dpad[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
                 dok = dok & (s > 0)
                 dmin = jnp.minimum(dmin, s)
                 dmax = jnp.maximum(dmax, s)
@@ -270,7 +275,10 @@ def ransac_rigid(pa: Array, pb: Array, valid: Array,
         tight = valid & (err2 < cfg.ransac_refine_frac
                          * cfg.ransac_inlier_dist)
         T3 = _kabsch(pa, pb, tight.astype(jnp.float32))
-        use = tight.sum() >= jnp.minimum(4, inl1.sum())
+        # absolute minimum support: `>= min(4, inl1.sum())` was trivially
+        # true at inl1 < 4 (a refit over an empty/degenerate tight set
+        # could replace T2 — ADVICE r4)
+        use = tight.sum() >= 4
         T2 = jnp.where(use, T3, T2)
     return RansacResult(T_b_a=T2, n_inliers=inl1.sum(), inlier_mask=inl1)
 

@@ -59,7 +59,11 @@ class IncrementalMesher:
         self._cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
         self.n_updates = 0
         self.chunks_remeshed = 0          # lifetime counter
-        self.dropped_tris = 0             # per-chunk capacity overflows
+        self.dropped_tris = 0             # only at maximum capacity (≈never)
+        # self-heal observability (silent growth, no data loss):
+        self.cap_mult = 1                 # per-chunk capacity multiplier
+        self.capacity_growths = 0         # cap_mult escalations
+        self.buffer_growths = 0           # max_tris escalations
 
     # -- update -----------------------------------------------------------
 
@@ -75,58 +79,67 @@ class IncrementalMesher:
         self.refresh_chunks([int(i) for i in ids], layer)
         return [int(i) for i in ids]
 
-    def refresh_chunks(self, ids: List[int], layer: vx.TsdfLayer,
-                       _retry: bool = True) -> None:
+    def refresh_chunks(self, ids: List[int], layer: vx.TsdfLayer) -> None:
         """Re-extract the given chunks in one device dispatch and refresh
-        the cache (chunks whose geometry vanished are dropped). A full
-        triangle buffer AUTO-GROWS (next power of two) and retries once —
-        a pool-saturated submap absorbing extra mission time can outgrow
-        any fixed budget (observed on the endurance soak), and an
-        overflowed buffer means tail chunks overlapped, so the update
-        must be redone, not just warned about."""
+        the cache (chunks whose geometry vanished are dropped).
+
+        SELF-HEALING capacity (VERDICT r4 Weak #4): a full triangle
+        buffer grows ``max_tris`` to the true need; a chunk overflowing
+        its per-chunk capacity escalates ``cap_mult`` (pow2, ≤ 16 = the
+        theoretical 12-tris-per-cell maximum) — both redo the update in
+        the same call, silently (one extra control-rate dispatch, no
+        data loss, counters ``buffer_growths``/``capacity_growths``), so
+        the cached mesh is always complete. Growth is sticky: later
+        updates start at the learned capacities."""
         from ..utils.hostops import bucket_slice_cols
 
+        if not ids:
+            return
         ncb = _next_pow2(len(ids))
         padded = np.full((ncb,), -1, np.int32)
         padded[:len(ids)] = np.asarray(ids, np.int32)
-        verts, cols, offs, cnts, totals = mesh_ops.extract_mesh_chunks_device(
-            self.spec, layer, self.chunk, self.min_weight, self.max_tris,
-            jnp.asarray(padded))
+        T_chunk = self.chunk * (self.spec.voxels_per_side ** 3) * 12
+        for _ in range(12):   # bounded; every retry strictly grows capacity
+            verts, cols, offs, cnts, totals = \
+                mesh_ops.extract_mesh_chunks_device(
+                    self.spec, layer, self.chunk, self.min_weight,
+                    self.max_tris, jnp.asarray(padded),
+                    cap_mult=self.cap_mult)
+            offs_h = np.asarray(offs)[:len(ids)]
+            cnts_h = np.asarray(cnts)[:len(ids)]
+            totals_h = np.asarray(totals)[:len(ids)]
+            # true buffer end = max over chunks (the last chunk may be
+            # empty, and on overflow the clamped running offset parks at
+            # exactly max_tris — offs[-1]+cnts[-1] would miss it)
+            used = int((offs_h + cnts_h).max())
+            if used > self.max_tris:
+                # the running offset clamped at max_tris: later chunks
+                # wrote overlapping the tail and their runs are
+                # unreliable — grow and redo (totals is pre-clamp, so
+                # its sum bounds the true need)
+                self.max_tris = 1 << max(int(totals_h.sum()) - 1,
+                                         1).bit_length()
+                self.buffer_growths += 1
+                continue
+            if int(np.maximum(totals_h - cnts_h, 0).max()) > 0 \
+                    and self.cap_mult < 16:
+                # per-chunk capacity overflow (pathologically dense
+                # chunk): escalate to cover the densest chunk
+                need = -(-int(totals_h.max()) * 16 // T_chunk)
+                self.cap_mult = min(16, _next_pow2(
+                    max(need, 2 * self.cap_mult)))
+                self.capacity_growths += 1
+                continue
+            break
         if self.quantize:
             qv, qc, mn, scale = mesh_ops._quantize_mesh_device(
                 self.spec, layer, verts, cols)
-        offs_h = np.asarray(offs)[:len(ids)]
-        cnts_h = np.asarray(cnts)[:len(ids)]
-        totals_h = np.asarray(totals)[:len(ids)]
-        # true buffer end = max over chunks (the last chunk may be empty,
-        # and on overflow the clamped running offset parks at exactly
-        # max_tris — offs[-1]+cnts[-1] would miss it)
-        used = int((offs_h + cnts_h).max()) if len(ids) else 0
-        if used > self.max_tris:
-            # the running offset clamped at max_tris: later chunks wrote
-            # overlapping the tail and their cached runs are unreliable —
-            # grow the buffer and redo the whole update (one retry;
-            # totals is pre-clamp, so its sum bounds the true need)
-            if _retry:
-                need = int(totals_h.sum())
-                self.max_tris = 1 << max(need - 1, 1).bit_length()
-                warnings.warn(
-                    "incremental mesh buffer overflowed — grown to "
-                    f"{self.max_tris} triangles and update redone",
-                    RuntimeWarning, stacklevel=3)
-                return self.refresh_chunks(ids, layer, _retry=False)
-            warnings.warn(
-                f"incremental mesh update overflowed its {self.max_tris}-"
-                "triangle buffer; tail chunks overlap — raise "
-                "IncrementalMesher.max_tris", RuntimeWarning, stacklevel=3)
         dropped = int(np.maximum(totals_h - cnts_h, 0).sum())
-        if dropped:
+        if dropped:   # only reachable at cap_mult == 16 (cap == T_chunk)
             self.dropped_tris += dropped
             warnings.warn(
-                f"incremental mesh update dropped {dropped} triangles "
-                "(per-chunk capacity overflow: a pathologically dense "
-                "chunk) — lower IncrementalMesher.chunk",
-                RuntimeWarning, stacklevel=3)
+                f"incremental mesh update dropped {dropped} triangles at "
+                "maximum per-chunk capacity", RuntimeWarning, stacklevel=3)
         if used:
             if self.quantize:
                 mn_h = np.asarray(mn, np.float32)
@@ -153,9 +166,11 @@ class IncrementalMesher:
 
     def full_rebuild(self, layer: vx.TsdfLayer) -> None:
         """Rebuild every chunk's cache (initial sync, or after a pose-
-        independent whole-layer change like recover/merge)."""
+        independent whole-layer change like recover/merge). Sized off
+        ``layer.max_blocks``, NOT spec.max_blocks: auto-grown merged
+        layers carry a larger pool (CLAUDE.md consumer rule; ADVICE r4)."""
         self._cache.clear()
-        n_chunks = -(-self.spec.max_blocks // self.chunk)
+        n_chunks = -(-layer.max_blocks // self.chunk)
         self.refresh_chunks(list(range(n_chunks)), layer)
 
     # -- queries ----------------------------------------------------------
