@@ -148,10 +148,11 @@ def _unpack_handle(spec: vx.VoxelGridSpec, buf: bytes):
         client_id=meta["client_id"],
         client_submap_id=meta["client_submap_id"],
         layer=layer,
-        T_cli_submap=jnp.asarray(meta["T_cli_submap"]),
+        # poses stay host numpy (the server consumes them on the host)
+        T_cli_submap=np.asarray(meta["T_cli_submap"]),
         start_time=meta["start_time"], end_time=meta["end_time"],
         hist_stamps=meta["hist_stamps"],
-        hist_poses=jnp.asarray(meta["hist_poses"]))
+        hist_poses=np.asarray(meta["hist_poses"]))
 
 
 class ClientService:
@@ -341,7 +342,9 @@ class RemoteClient:
         out = self._request("lookup_pose", struct.pack("<id", k, t))
         if not out:
             return None                              # FAILED / no history
-        return jnp.asarray(np.frombuffer(out, np.float32))
+        # host numpy (the server control plane is host math; a jnp wrap
+        # here uploaded just for the server to download again)
+        return np.frombuffer(out, np.float32)
 
     def receive_loop_closure(self, t_a: float, t_b: float, T,
                              sqrt_info=None) -> bool:

@@ -355,6 +355,12 @@ def _np_quat_rotate(q, v):
     return v + 2.0 * (qw * uv + uuv)
 
 
+def identity_np(dtype=None):
+    """NumPy twin of identity() — host-side control code."""
+    import numpy as np
+    return np.array([1.0, 0, 0, 0, 0, 0, 0], dtype or np.float32)
+
+
 def compose_np(a, b):
     """NumPy twin of compose() for host-side control code (remote-TPU
     rule: no eager device ops in bookkeeping loops — utils/hostops)."""

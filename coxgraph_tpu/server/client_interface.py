@@ -34,11 +34,12 @@ class SubmapHandle:
     client_id: int
     client_submap_id: int
     layer: vx.TsdfLayer
-    T_cli_submap: Array      # submap pose in the client's odom frame
+    T_cli_submap: np.ndarray  # submap pose in the client's odom frame (host)
     start_time: float
     end_time: float
-    hist_stamps: np.ndarray  # (H,)
-    hist_poses: Array        # (H,7) T_submap_cam
+    hist_stamps: np.ndarray   # (H,)
+    hist_poses: np.ndarray    # (H,7) T_submap_cam (host numpy — server
+    #                           control code composes these on the host)
 
 
 class InProcessClient:
@@ -135,7 +136,8 @@ class InProcessClient:
         for k in range(n):
             prev = self._published_poses.get(k)
             if prev is None or not np.allclose(prev, T[k], atol=1e-6):
-                out.append((k, jnp.asarray(T[k])))
+                # host numpy out: the server consumes these on the host
+                out.append((k, T[k].copy()))
                 self._published_poses[k] = T[k].copy()
         return out
 
@@ -164,11 +166,14 @@ class InProcessClient:
             client_id=self.client_id,
             client_submap_id=k,
             layer=layer,
-            T_cli_submap=jnp.asarray(np.asarray(col.T_odom_submap)[k]),
+            # poses stay HOST numpy: the server's control plane is host
+            # math (ServerSubmap docstring); re-uploading here just to
+            # re-download server-side wasted two tunnel round trips
+            T_cli_submap=np.asarray(col.T_odom_submap)[k],
             start_time=float(start[k]),
             end_time=float(end[k]),
             hist_stamps=np.asarray(col.hist_stamps)[k, :h],
-            hist_poses=jnp.asarray(np.asarray(col.hist_poses)[k, :h]),
+            hist_poses=np.asarray(col.hist_poses)[k, :h],
         )
 
     def get_submap_by_time(self, t: float) -> Optional[SubmapHandle]:
@@ -195,16 +200,17 @@ class InProcessClient:
         with self.lock:
             return sm.trajectory(self.state.collection)
 
-    def lookup_pose_in_submap(self, k: int, t: float) -> Array:
+    def lookup_pose_in_submap(self, k: int, t: float) -> np.ndarray:
         """T_submap_cam at time t from the submap's history
         (voxgraph lookupPoseByTime, used at coxgraph_client.cpp:53-57).
-        Interpolates on the host (whole-buffer transfers only)."""
+        Interpolates on the host (whole-buffer transfers only); returns
+        HOST numpy — consumers are host control code."""
         with self.lock:
             col = self.state.collection
             h = int(np.asarray(col.hist_count)[k])
             stamps = np.asarray(col.hist_stamps)[k, :h]
             poses = np.asarray(col.hist_poses)[k, :h]
-        return jnp.asarray(geo.lookup_pose_np(stamps, poses, t))
+        return np.asarray(geo.lookup_pose_np(stamps, poses, t))
 
     # -- server → client ----------------------------------------------------
 

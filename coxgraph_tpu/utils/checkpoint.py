@@ -157,7 +157,9 @@ def load_server(dirpath: str, server) -> None:
         server.constraint_kinds = ["unknown"] * n
     frames = np.load(os.path.join(dirpath, "frames.npz"))
     for c in meta["T_G_cli_ids"]:
-        server.T_G_cli[int(c)] = jnp.asarray(frames[f"T_G_cli_{c}"])
+        # host numpy: the server control plane is host math (ServerSubmap)
+        server.T_G_cli[int(c)] = np.asarray(frames[f"T_G_cli_{c}"],
+                                            np.float32)
     server.cli_ser = {tuple(k): v for k, v in meta["cli_ser"]}
     server.fused = {int(k): v for k, v in meta["fused"].items()}
     server.last_fusion_time = {tuple(k): v
@@ -171,12 +173,16 @@ def load_server(dirpath: str, server) -> None:
             os.path.join(dirpath, f"submap_{sid}_layer.npz"), template)
         layer = jax.tree.map(jnp.asarray, layer)
         pose = np.load(os.path.join(dirpath, f"submap_{sid}_pose.npz"))
+        # re-derive the version-cached host geometry (n_blocks, aabb) —
+        # overlap detection reads it instead of device state
+        nb, aabb = server._submap_geom(layer)
         server.submaps.append(ServerSubmap(
             sid=sid, client_id=sm_meta["client_id"],
             client_submap_id=sm_meta["client_submap_id"], layer=layer,
-            T_cli_submap=jnp.asarray(pose["T_cli_submap"]),
-            T_G_submap=jnp.asarray(pose["T_G_submap"]),
+            T_cli_submap=np.asarray(pose["T_cli_submap"], np.float32),
+            T_G_submap=np.asarray(pose["T_G_submap"], np.float32),
             start_time=sm_meta["start_time"],
             end_time=sm_meta["end_time"],
             hist_stamps=pose["hist_stamps"],
-            hist_poses=jnp.asarray(pose["hist_poses"])))
+            hist_poses=np.asarray(pose["hist_poses"]),
+            n_blocks=nb, aabb=aabb))
