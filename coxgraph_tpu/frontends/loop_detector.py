@@ -7,14 +7,25 @@ LoopClosurePublisher routing (loop_closure_publisher.h:71-136: cross-robot
 → MapFusion, same-robot → LoopClosure).
 
 TPU design: no BoW inverted index — the whole keyframe descriptor database
-is matched brute-force on the MXU/VPU (hundreds of keyframes × 512
+is matched brute-force on the MXU/VPU (thousands of keyframes × 384
 descriptors is small change for a chip), candidates are ranked by mutual
-good-match count and verified with batched 3D-3D RANSAC.
+good-match count and verified with batched 3D-3D RANSAC. Round-5 form:
+matching AND the top-K RANSAC verifications are ONE fused jitted dispatch
+with ONE host readback per keyframe — the per-candidate `int()` gates of
+round 4 were ~3 × 25 ms tunnel round trips each, the floor of the
+130 ms/keyframe detection cost (docs/PERFORMANCE.md round-4 #6).
+
+Capacity: the device database is a FIXED pool of
+``LoopDetectorConfig.max_keyframes`` slots (the repo's pool discipline —
+the round-4 DB grew unboundedly, VERDICT r4 Weak #6). On saturation the
+OLDEST keyframe of the MOST-REPRESENTED client is evicted (per-client
+balance survives long missions), observable via ``dropped_keyframes``.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from functools import partial
 from typing import List, Optional
 
@@ -22,7 +33,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import geometry as geo
 from ..ops import features as ft
 from ..server.fusion_server import MapFusionMsg
 from .synthetic import PinholeIntrinsics
@@ -49,40 +59,89 @@ class LoopDetectorConfig:
     #  (MapFusion.msg:1-6); without it a closure enters pose graphs at
     #  weight 1 against odometry chains whitened at ~20 and cannot pull
     #  the drift out (0 ⇒ emit None and let receivers default)
+    # Device keyframe-pool capacity (fixed-shape DB: one compiled
+    # match+verify program for the whole mission; BoW's bounded-index
+    # intent, pose_graph_backend.launch:13-60). At 0.5 s stride this is
+    # ~34 min of two-robot mission before eviction starts.
+    max_keyframes: int = 2048
+    # DB rows matched per sequential lax.map step inside the fused
+    # dispatch: bounds the (chunk, K, K) Hamming intermediate (a flat
+    # vmap at 2048 keyframes × 384² would stage ~1.2 GB)
+    match_chunk: int = 128
 
 
 @dataclasses.dataclass
 class Keyframe:
     client_id: int
     t: float
-    kp: ft.Keypoints
+    kp: Optional[ft.Keypoints] = None  # not retained (DB pools hold the
+    #                                    device data); kept for API compat
 
 
-@partial(jax.jit, static_argnums=4)
-def _batched_match_counts(db_desc, db_valid, q_desc, q_valid,
-                          cfg: ft.FeatureConfig):
-    """(N,K,8)×(K,8) → (N,) mutual-good-match counts."""
+@partial(jax.jit, static_argnums=(6, 7, 8))
+def _match_and_verify(db_desc, db_valid, db_pcam, db_hdep, elig, q,
+                      cfg: ft.FeatureConfig, max_cand: int,
+                      match_chunk: int, key=None):
+    """ONE fused dispatch per keyframe: score the query against the whole
+    device DB, pick the top ``max_cand`` eligible slots, and RANSAC-verify
+    each — a single small-tuple readback replaces round-4's score pull +
+    per-candidate gate pulls (~3 × 25 ms tunnel round trips/keyframe).
 
-    def one(desc_b, valid_b):
-        a = ft.Keypoints(uv=None, response=None, valid=q_valid, desc=q_desc,
-                         p_cam=None, has_depth=None)
-        b = ft.Keypoints(uv=None, response=None, valid=valid_b, desc=desc_b,
-                         p_cam=None, has_depth=None)
-        mb, _ = ft.match_descriptors(a, b, cfg)
-        return (mb >= 0).sum()
+    elig: (cap,) bool host-built eligibility (live slot, not same-client
+    within min_time_separation). → (scores (max_cand,), slots (max_cand,),
+    T (max_cand,7), n_inliers (max_cand,), spreads (max_cand,))."""
+    cap, K = db_valid.shape
 
-    return jax.vmap(one)(db_desc, db_valid)
+    def count_chunk(args):
+        desc_c, valid_c = args
+
+        def one(desc_b, valid_b):
+            a = ft.Keypoints(uv=None, response=None, valid=q.valid,
+                             desc=q.desc, p_cam=None, has_depth=None)
+            b = ft.Keypoints(uv=None, response=None, valid=valid_b,
+                             desc=desc_b, p_cam=None, has_depth=None)
+            mb, _ = ft.match_descriptors(a, b, cfg)
+            return (mb >= 0).sum()
+
+        return jax.vmap(one)(desc_c, valid_c)
+
+    nc = -(-cap // match_chunk)
+    pad = nc * match_chunk - cap
+    dd = jnp.pad(db_desc, ((0, pad), (0, 0), (0, 0)))
+    dv = jnp.pad(db_valid, ((0, pad), (0, 0)))
+    counts = jax.lax.map(
+        count_chunk, (dd.reshape(nc, match_chunk, K, -1),
+                      dv.reshape(nc, match_chunk, K))).reshape(-1)[:cap]
+
+    scores = jnp.where(elig, counts, -1)
+    top_scores, top_idx = jax.lax.top_k(scores, max_cand)
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, max_cand)
+
+    def verify(idx, subkey):
+        kf_kp = ft.Keypoints(uv=None, response=None,
+                             valid=db_valid[idx], desc=db_desc[idx],
+                             p_cam=db_pcam[idx], has_depth=db_hdep[idx])
+        return ft.estimate_relative_pose(kf_kp, q, cfg, key=subkey,
+                                         return_spread=True)
+
+    Ts, n_inls, spreads = jax.vmap(verify)(top_idx, keys)
+    return top_scores, top_idx, Ts, n_inls, spreads
 
 
-@partial(jax.jit, donate_argnums=(0, 1))
-def _db_append(db_desc, db_valid, desc, valid, n):
-    """In-place keyframe append at traced slot n (one cached program per
-    capacity bucket — an eager update would bake n as a constant and
-    recompile per keyframe on remote TPUs). The database buffers are
-    DONATED so XLA aliases input to output — without it every append
-    device-copies the whole (cap, K, 8) pool (ADVICE r4)."""
-    return (jax.lax.dynamic_update_index_in_dim(db_desc, desc, n, 0),
-            jax.lax.dynamic_update_index_in_dim(db_valid, valid, n, 0))
+@partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _db_append(db_desc, db_valid, db_pcam, db_hdep, kp: ft.Keypoints, n):
+    """In-place keyframe write at traced slot n (one cached program for
+    the fixed pool). The database buffers are DONATED so XLA aliases
+    input to output — without it every append device-copies the whole
+    pool (ADVICE r4)."""
+    upd = jax.lax.dynamic_update_index_in_dim
+    return (upd(db_desc, kp.desc, n, 0),
+            upd(db_valid, kp.valid, n, 0),
+            upd(db_pcam, kp.p_cam, n, 0),
+            upd(db_hdep, kp.has_depth, n, 0))
 
 
 class LoopDetector:
@@ -93,53 +152,70 @@ class LoopDetector:
                  cfg: LoopDetectorConfig = LoopDetectorConfig()):
         self.intr = intr
         self.cfg = cfg
-        self.keyframes: List[Keyframe] = []
+        cap = cfg.max_keyframes
+        # slot-indexed host metadata (slots recycle under eviction)
+        self.slots: List[Optional[Keyframe]] = [None] * cap
+        self.n_keyframes = 0          # live slots
+        self.total_keyframes = 0      # lifetime ingests
+        self.dropped_keyframes = 0    # evictions (pool saturation counter)
+        self._free = list(range(cap - 1, -1, -1))
         self._last_kf_time: dict[int, float] = {}
-        # DEVICE-RESIDENT descriptor database, appended in place: the
-        # old form rebuilt a (cap, K, 8) numpy array and re-uploaded it
-        # EVERY keyframe — 12.6 MB of host assembly + transfer per call,
-        # measured 255 ms/keyframe at db=32 on the tunnel and growing
-        # with the database (round-4). Pow2 capacity buckets keep the
-        # append/match jit caches bounded.
+        # DEVICE-RESIDENT fixed pools, written in place (donated appends;
+        # fixed capacity ⇒ one compiled match/append program all mission)
         self._db_desc = None      # (cap, K, 8) u32
         self._db_valid = None     # (cap, K) bool
+        self._db_pcam = None      # (cap, K, 3) f32
+        self._db_hdep = None      # (cap, K) bool
 
-    def _score(self, kp_a: ft.Keypoints, kp_b: ft.Keypoints) -> int:
-        mb, _ = ft.match_descriptors(kp_a, kp_b, self.cfg.features)
-        return int((mb >= 0).sum())
+    # -- compat/observability ------------------------------------------
 
-    def _append_db(self, kp: ft.Keypoints) -> None:
-        """Append one keyframe's descriptors to the device database
-        (in-place dynamic update; capacity doubles at pow2 boundaries)."""
-        n = len(self.keyframes)       # slot of the entry being added
+    @property
+    def keyframes(self) -> List[Keyframe]:
+        """Live keyframes (slot order) — metadata only; descriptors and
+        3-D points live in the device pools."""
+        return [kf for kf in self.slots if kf is not None]
+
+    def _ensure_db(self) -> None:
+        if self._db_desc is not None:
+            return
+        cap = self.cfg.max_keyframes
         K = self.cfg.features.max_keypoints
-        cap = 0 if self._db_desc is None else self._db_desc.shape[0]
-        if n >= cap:
-            new_cap = max(64, 2 * cap)
-            if self._db_desc is None:
-                self._db_desc = jnp.zeros((new_cap, K, ft._N_WORDS),
-                                          jnp.uint32)
-                self._db_valid = jnp.zeros((new_cap, K), jnp.bool_)
-            else:
-                grow = new_cap - cap
-                self._db_desc = jnp.pad(self._db_desc,
-                                        ((0, grow), (0, 0), (0, 0)))
-                self._db_valid = jnp.pad(self._db_valid, ((0, grow), (0, 0)))
-        self._db_desc, self._db_valid = _db_append(
-            self._db_desc, self._db_valid, kp.desc, kp.valid,
-            jnp.asarray(n, jnp.int32))
+        self._db_desc = jnp.zeros((cap, K, ft._N_WORDS), jnp.uint32)
+        self._db_valid = jnp.zeros((cap, K), jnp.bool_)
+        self._db_pcam = jnp.zeros((cap, K, 3), jnp.float32)
+        self._db_hdep = jnp.zeros((cap, K), jnp.bool_)
 
-    def _score_all(self, kp: ft.Keypoints) -> np.ndarray:
-        """Match the query against the WHOLE device-resident database in
-        one jitted dispatch (remote-TPU friendly: one sync, no per-call
-        re-upload). Returns (n_keyframes,) good-match counts."""
-        n = len(self.keyframes)
-        if n == 0:
-            return np.zeros((0,), np.int32)
-        counts = _batched_match_counts(
-            self._db_desc, self._db_valid, kp.desc, kp.valid,
-            self.cfg.features)
-        return np.asarray(counts)[:n]
+    def _alloc_slot(self, client_id: int) -> int:
+        """Free slot, or — at capacity — evict the OLDEST keyframe of the
+        MOST-REPRESENTED client (keeps per-client coverage balanced on
+        long missions; observable warn-and-count saturation like every
+        pool in the repo, VERDICT r4 Weak #6). The INCOMING keyframe
+        counts toward its client, so alternating-ingest steady state is
+        exactly balanced."""
+        if self._free:
+            self.n_keyframes += 1
+            return self._free.pop()
+        counts: dict[int, int] = {client_id: 1}
+        for kf in self.slots:
+            counts[kf.client_id] = counts.get(kf.client_id, 0) + 1
+        target = max(sorted(counts), key=lambda c: counts[c])
+        if not any(kf.client_id == target for kf in self.slots):
+            target = max(sorted(c for c in counts if c != client_id),
+                         key=lambda c: counts[c])
+        slot = min((s for s, kf in enumerate(self.slots)
+                    if kf.client_id == target),
+                   key=lambda s: self.slots[s].t)
+        self.dropped_keyframes += 1
+        if self.dropped_keyframes == 1 or self.dropped_keyframes % 256 == 0:
+            warnings.warn(
+                f"keyframe pool saturated ({self.cfg.max_keyframes}): "
+                f"evicted client {target}'s oldest keyframe "
+                f"(t={self.slots[slot].t:.2f}) — {self.dropped_keyframes} "
+                "evicted so far; raise LoopDetectorConfig.max_keyframes",
+                RuntimeWarning, stacklevel=4)
+        return slot
+
+    # -- ingest ---------------------------------------------------------
 
     def add_keyframe(self, client_id: int, t: float, color: Array,
                      depth: Array,
@@ -150,37 +226,59 @@ class LoopDetector:
         if last is not None and t - last < self.cfg.keyframe_stride - 1e-9:
             return []
         self._last_kf_time[client_id] = t
-
         kp = ft.detect_and_describe(self.intr, color, depth,
                                     self.cfg.features)
+        return self.ingest_keypoints(client_id, t, kp, key=key)
+
+    def ingest_keypoints(self, client_id: int, t: float, kp: ft.Keypoints,
+                         key: Optional[Array] = None) -> List[MapFusionMsg]:
+        """Keypoint-level entry (add_keyframe minus detection — remote
+        frontends shipping descriptors, and capacity tests, feed here).
+        One fused match+verify dispatch, one small readback, one donated
+        append."""
+        self._ensure_db()
+        cfg = self.cfg
         msgs: List[MapFusionMsg] = []
-        counts = self._score_all(kp)
-        scored = []
-        for i, kf in enumerate(self.keyframes):
-            if kf.client_id == client_id and \
-                    abs(t - kf.t) < self.cfg.min_time_separation:
-                continue
-            if counts[i] >= self.cfg.min_match_score:
-                scored.append((int(counts[i]), kf))
-        scored.sort(key=lambda x: -x[0])
-
-        for rank, (s, kf) in enumerate(scored[:self.cfg.max_candidates]):
-            k = (jax.random.PRNGKey(len(self.keyframes) * 97 + rank)
-                 if key is None else jax.random.fold_in(key, rank))
-            T_a_b, n_inl, spread = ft.estimate_relative_pose(
-                kf.kp, kp, self.cfg.features, key=k, return_spread=True)
-            # ONE device→host readback for both gate scalars — separate
-            # int()/float() pulls are a ~25 ms tunnel round trip EACH
-            n_inl, spread = jax.device_get((n_inl, spread))
-            if (int(n_inl) >= self.cfg.min_inliers
-                    and float(spread) >= self.cfg.min_inlier_spread):
-                si = (self.cfg.sqrt_info * jnp.eye(6)
-                      if self.cfg.sqrt_info > 0 else None)
-                msgs.append(MapFusionMsg(
-                    from_client=kf.client_id, from_time=kf.t,
-                    to_client=client_id, to_time=t, T_from_to=T_a_b,
-                    sqrt_info=si))
-
-        self._append_db(kp)
-        self.keyframes.append(Keyframe(client_id=client_id, t=t, kp=kp))
+        if self.n_keyframes > 0:
+            elig = np.zeros((cfg.max_keyframes,), bool)
+            for s_i, kf in enumerate(self.slots):
+                if kf is None:
+                    continue
+                if kf.client_id == client_id and \
+                        abs(t - kf.t) < cfg.min_time_separation:
+                    continue
+                elig[s_i] = True
+            if elig.any():
+                k = (jax.random.PRNGKey(self.total_keyframes * 97)
+                     if key is None else key)
+                mc = min(cfg.max_candidates, cfg.max_keyframes)
+                # ONE device→host readback for every gate scalar AND the
+                # verified transforms (round-4 paid ~3 syncs/keyframe)
+                scores, idx, Ts, n_inls, spreads = jax.device_get(
+                    _match_and_verify(
+                        self._db_desc, self._db_valid, self._db_pcam,
+                        self._db_hdep, jnp.asarray(elig), kp,
+                        cfg.features, mc, cfg.match_chunk, k))
+                for r in range(mc):
+                    if int(scores[r]) < cfg.min_match_score:
+                        continue
+                    kf = self.slots[int(idx[r])]
+                    if kf is None:
+                        continue
+                    if (int(n_inls[r]) >= cfg.min_inliers
+                            and float(spreads[r]) >= cfg.min_inlier_spread):
+                        si = (cfg.sqrt_info
+                              * np.eye(6, dtype=np.float32)
+                              if cfg.sqrt_info > 0 else None)
+                        msgs.append(MapFusionMsg(
+                            from_client=kf.client_id, from_time=kf.t,
+                            to_client=client_id, to_time=t,
+                            T_from_to=np.asarray(Ts[r]), sqrt_info=si))
+        slot = self._alloc_slot(client_id)
+        (self._db_desc, self._db_valid, self._db_pcam,
+         self._db_hdep) = _db_append(
+            self._db_desc, self._db_valid, self._db_pcam, self._db_hdep,
+            kp, jnp.asarray(slot, jnp.int32))
+        self.slots[slot] = Keyframe(client_id=client_id, t=t)
+        self.total_keyframes += 1
         return msgs
