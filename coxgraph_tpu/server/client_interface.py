@@ -63,6 +63,16 @@ class InProcessClient:
         # (ClientHandler ReqState, client_handler.h:106)
         self.req_state = "noninit"
         self.failures = 0
+        # Deferred local PGO (round-5 streaming pipeline): with
+        # defer_local_pgo, receive_loop_closure only ADDS the constraint
+        # (one cheap dispatch) and marks the solve pending; the robot's
+        # own frame loop runs run_pending_local_pgo() between windows.
+        # Keeps a detector thread's closure floods from holding the
+        # client lock through a full LM solve while the stream thread
+        # waits to integrate (the reference's loop topic is likewise
+        # consumed by the client's own spin, not the publisher's thread).
+        self.defer_local_pgo = False
+        self.local_pgo_pending = False
         # Pause lock for async server↔robot overlap (the reference
         # client's submap_proc_mutex_ timed lock, coxgraph_client.h:126):
         # server-origin state mutations (apply_pose_updates,
@@ -230,6 +240,20 @@ class InProcessClient:
                 geo.compose(T_sa_ta, T_ta_tb), geo.inverse(T_sb_tb))
             self.state = sm.add_loop_closure(self.state, ka, kb, T_sa_sb,
                                              sqrt_info)
+            if self.defer_local_pgo:
+                self.local_pgo_pending = True
+            else:
+                self.state = sm.optimize_local(self.cfg, self.state)
+            return True
+
+    def run_pending_local_pgo(self) -> bool:
+        """Run the deferred local solve if closures accumulated since the
+        last call (see defer_local_pgo). → True if a solve ran. Callers
+        sharing state with a HostMapper must rebind it afterwards."""
+        with self.lock:
+            if not self.local_pgo_pending:
+                return False
+            self.local_pgo_pending = False
             self.state = sm.optimize_local(self.cfg, self.state)
             return True
 

@@ -423,3 +423,64 @@ def test_stress_final_mesh_isolation_under_melee():
     assert len(mesh_rounds) >= 1          # isolation actually exercised
     res = server.evaluate_residuals()
     assert all(np.isfinite(v) for vs in res.values() for v in vs)
+
+
+def test_nonblocking_fusion_coalesces_solves():
+    """Round-5 streaming pipeline: with nonblocking_pgo, a fusion landing
+    while a solve is in flight returns WITHOUT waiting it out (the graph
+    mutates immediately; write-backs are snapshot-bounded) and marks the
+    solve pending — fusions faster than solves coalesce into ONE
+    follow-up run instead of serializing the caller."""
+    clients = [make_robot(0)[0], make_robot(1)[0]]
+    server = fs.CoxgraphServer(
+        fs.ServerConfig(spec=SPEC, max_submaps=8, refuse_interval=0.0,
+                        async_pgo=True, nonblocking_pgo=True,
+                        solver=pg.SolverConfig(iterations=3)),
+        clients)
+    started, release = gate_optimize(server)
+
+    def mf():
+        return fs.MapFusionMsg(from_client=0, from_time=0.0, to_client=1,
+                               to_time=0.0, T_from_to=geo.identity())
+
+    assert server.map_fusion(mf())
+    assert started.wait(10)
+    # two more fusions WHILE the solve is gated mid-flight: they must
+    # return (not deadlock on the held gate) and coalesce
+    assert server.map_fusion(mf())
+    assert server.map_fusion(mf())
+    assert server._opt_thread is not None and server._opt_thread.is_alive()
+    assert server.coalesced_solves >= 1
+    assert server.constraint_kinds.count("fusion") == 3
+
+    release.set()
+    server.wait_for_optimize()
+    # initial solve + exactly ONE coalesced re-run
+    assert len(server.fusion_log) == 2
+    assert server.optimize_errors == []
+    assert np.isfinite(np.asarray(server._poses())).all()
+
+
+def test_deferred_local_pgo_runs_on_robot_thread():
+    """defer_local_pgo: a forwarded closure only adds the constraint
+    (detector thread never holds the client lock through an LM solve);
+    the robot's own loop runs the solve via run_pending_local_pgo."""
+    c, (depth, color, T) = make_robot(0)
+    with c.lock:
+        st = c.state
+        st = sm.start_submap(CFG, st, T, jnp.asarray(1.0))
+        st = sm.integrate(CFG, st, depth, color, T, jnp.asarray(1.0))
+        c.state = st
+    c.defer_local_pgo = True
+    before = np.asarray(c.state.collection.T_odom_submap).copy()
+    T_meas = geo.from_xyzyaw(jnp.array([0.08, 0.0, 0.0, 0.0]))
+    assert c.receive_loop_closure(0.0, 1.0, T_meas,
+                                  sqrt_info=30.0 * jnp.eye(6))
+    assert c.local_pgo_pending
+    np.testing.assert_array_equal(
+        np.asarray(c.state.collection.T_odom_submap), before)  # no solve yet
+    assert c.run_pending_local_pgo()
+    assert not c.local_pgo_pending
+    after = np.asarray(c.state.collection.T_odom_submap)
+    assert not np.allclose(after, before, atol=1e-6)
+    assert not c.run_pending_local_pgo()   # idempotent drain

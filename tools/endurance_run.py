@@ -1,24 +1,33 @@
-"""On-chip endurance run (VERDICT r3 task #8): the two-robot drifting
-experiment streamed for O(1000) frames on the REAL TPU with async PGO,
-the incremental live-mesh path, and the saturation counters all active —
-the long-mission soak the 40-80-frame demos never exercised. Writes the
-round artifact ``ENDURANCE_r{N}.json`` at the repo root:
+"""On-chip endurance run — round 5: the PIPELINED two-robot streaming
+mission (VERDICT r4 Missing #1/Weak #1). The reference runs its stages as
+concurrent OS processes wired by topic queues (tsdf_server → tsdf_recover
+→ client → server, firefly/tsdf_client.launch:25-50) with the global
+solve on a detached std::async thread (coxgraph_server.cpp:471-473) so
+dense integration never blocks on loop detection or optimization. This
+harness reproduces that overlap with the repo's own machinery:
 
-    wall/fps, accepted fusions, async-solve seconds, per-robot ATE,
-    window-union watermark + dropped blocks, dropped submap rollovers,
-    constraint-pool drops, incremental-mesh chunks re-meshed vs full,
-    final mesh size + surface error.
+  STREAM thread   — integrate_batch windows per robot (client lock),
+                    deferred local PGO drains, per-lap incremental live
+                    mesh. Never calls map_fusion or wait_for_optimize.
+  DETECTOR thread — consumes keyframe jobs from a queue (posted as each
+                    window lands), runs the fused one-dispatch
+                    match+verify, routes MapFusion messages to the
+                    server. Fusions use NONBLOCKING PGO: constraints
+                    land immediately, solves coalesce.
+  SOLVE thread    — the server's async PGO loop (kicked by fusions),
+                    pushes optimized poses back under the client locks.
 
-Design notes (the streaming discipline of docs/PERFORMANCE.md):
-  * frames are pre-rendered ONCE on CPU and cached (.endurance_frames.npz,
-    like bench's frame cache) — each robot loops a 96-frame orbit lap
-    with drifting odometry, so revisits are real and closures matter;
-  * integration runs through HostMapper.step_batch windows (one device
-    dispatch per window) under the client lock — the async PGO thread
-    reads the same state the reference way (client_handler.cpp);
-  * the loop detector runs on keyframes from the cached frames; intra-
-    robot closures route through the server back to local PGO, cross-
-    robot matches become MapFusion messages driving the two-phase solve.
+Writes ``ENDURANCE_r{N}.json``: wall/fps (FULL pipeline wall — stream +
+detector drain + final solve), per-stage wall breakdown, accepted
+fusions, coalesced solves, per-robot ATE, pool watermarks, incremental-
+mesh stats, final mesh size + surface error, and the wire-bandwidth
+stage (per-submap voxel-wire vs mesh-wire bytes/latency — the L2 tier's
+designed bottleneck, eval_data_publisher.h:23-31, msg_converter.h:149-167).
+
+Frames are pre-rendered ONCE on CPU and cached (.endurance_frames.npz);
+each robot loops a 96-frame orbit lap with drifting odometry, so revisits
+are real and closures matter. Sensor rate: 2 robots × 10 Hz ⇒ real time
+means ≥ 20 frames/s aggregate pipeline wall.
 
 Run: python tools/endurance_run.py [--laps N] [--cpu]
 """
@@ -26,7 +35,9 @@ Run: python tools/endurance_run.py [--laps N] [--cpu]
 import argparse
 import json
 import os
+import queue
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -36,6 +47,7 @@ FRAME_CACHE = os.path.join(ROOT, ".endurance_frames.npz")
 DT = 0.1
 N_LAP = 96          # frames per lap per robot (one full orbit)
 WINDOW = 24         # frames per step_batch dispatch
+KF_STRIDE = 4       # frames between detector keyframes
 
 
 def _render_frames(scale: float):
@@ -81,7 +93,7 @@ def main():
     ap.add_argument("--laps", type=int, default=6)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--scale", type=float, default=0.25)
-    ap.add_argument("--out", default=os.path.join(ROOT, "ENDURANCE_r04.json"))
+    ap.add_argument("--out", default=os.path.join(ROOT, "ENDURANCE_r05.json"))
     args = ap.parse_args()
 
     from coxgraph_tpu.utils import runtime
@@ -93,6 +105,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from coxgraph_tpu.comm import mesh_comm, wire
     from coxgraph_tpu.core import geometry as geo, voxel as vx
     from coxgraph_tpu.eval import metrics
     from coxgraph_tpu.eval.live_view import LiveMeshViewer
@@ -111,19 +124,17 @@ def main():
     trajs = [np.asarray(z["traj0"]), np.asarray(z["traj1"])]
 
     n_frames = args.laps * N_LAP
-    duration = n_frames * DT
     spec = vx.VoxelGridSpec(voxel_size=0.05, voxels_per_side=16,
                             grid_dim=64, max_blocks=1024, truncation=0.15)
     cfg = sm.MapperConfig(
         spec=spec,
         integrator=tsdf_ops.TsdfIntegratorConfig(max_touched_blocks=512),
         intrinsics=syn.PinholeIntrinsics().scaled(args.scale),
-        # the interval is an exact multiple of the WINDOW length so
-        # every rollover lands on a step_batch boundary — one compiled
-        # window program instead of one per segment length (tunnel
-        # compile discipline, docs/PERFORMANCE.md); at 6 laps the 24
-        # rollovers overrun the 20-submap pool, so the graceful
-        # warn-and-count saturation path runs as part of the soak
+        # the interval is an exact multiple of the WINDOW length so every
+        # rollover lands on a step_batch boundary — one compiled window
+        # program (tunnel compile discipline, docs/PERFORMANCE.md); at 6
+        # laps the 24 rollovers overrun the 20-submap pool, so the
+        # graceful warn-and-count saturation path runs as part of the soak
         max_submaps=20, max_history=512,
         submap_interval=WINDOW * DT,
         height_prior_stddev=0.1,
@@ -154,11 +165,15 @@ def main():
 
     clients = [InProcessClient(r, cfg, sm.create_mapper(cfg))
                for r in range(2)]
+    for c in clients:
+        c.defer_local_pgo = True    # closures add; the stream thread solves
     mappers = [sm.HostMapper(cfg, clients[r].state) for r in range(2)]
     server = fs.CoxgraphServer(
         fs.ServerConfig(
             spec=spec, max_submaps=48, refuse_interval=2.0,
-            async_pgo=True, registration_weight=30.0,
+            intra_refuse_interval=2.0,
+            async_pgo=True, nonblocking_pgo=True,
+            registration_weight=30.0,
             registration=fs.reg.RegistrationConfig(max_points=1024,
                                                    iterations=10)),
         clients)
@@ -167,67 +182,111 @@ def main():
         ld.LoopDetectorConfig(
             features=ft.FeatureConfig(max_keypoints=384),
             min_match_score=25, min_inliers=15,
-            keyframe_stride=4 * DT, min_time_separation=6.0,
-            sqrt_info=60.0))
+            keyframe_stride=KF_STRIDE * DT, min_time_separation=6.0,
+            sqrt_info=60.0, max_keyframes=512, match_chunk=128))
     viewer = LiveMeshViewer("/tmp/coxgraph_endurance", label="endurance")
 
-    t0 = time.time()
-    n_fusions = n_candidates = 0
+    # -- detector/fusion thread ----------------------------------------
+    kf_jobs: "queue.Queue" = queue.Queue()
+    stage = {"integrate": 0.0, "live_mesh": 0.0, "local_pgo": 0.0,
+             "detect": 0.0, "fuse": 0.0}
+    counts = {"cand": 0, "fused": 0, "kf": 0}
+    det_errors: list = []
+
+    def detector_loop():
+        try:
+            while True:
+                job = kf_jobs.get()
+                if job is None:
+                    return
+                r, k, t = job
+                t0 = time.perf_counter()
+                mfs = detector.add_keyframe(
+                    r, t, jnp.asarray(colors[r][k]),
+                    jnp.asarray(depths[r][k]))
+                stage["detect"] += time.perf_counter() - t0
+                counts["kf"] += 1
+                for mf in mfs:
+                    counts["cand"] += 1
+                    t0 = time.perf_counter()
+                    if server.map_fusion(mf):
+                        counts["fused"] += 1
+                    stage["fuse"] += time.perf_counter() - t0
+        except Exception as e:  # noqa: BLE001 — surface, don't hang
+            det_errors.append(f"{type(e).__name__}: {e}")
+
+    det_thread = threading.Thread(target=detector_loop, daemon=True)
+    det_thread.start()
+
+    # -- stream thread (this thread) -----------------------------------
+    t_start = time.time()
     live_updates = 0
     for lap in range(args.laps):
         for w0 in range(0, N_LAP, WINDOW):
             i0 = lap * N_LAP + w0
             ts = (np.arange(WINDOW) + i0) * DT
+            t0 = time.perf_counter()
             for r in range(2):
                 sl = slice(w0, w0 + WINDOW)
                 osl = slice(i0, i0 + WINDOW)
                 with clients[r].lock:
                     # resync FIRST: the async-PGO server rebinds
-                    # client.state on pose pushes / forwarded closures
-                    # (apply_pose_updates, receive_loop_closure) — a
-                    # stale mapper.state rebind would silently revert
+                    # client.state on pose pushes / forwarded closures —
+                    # a stale mapper.state rebind would silently revert
                     # them (ADVICE r4)
                     mappers[r].state = clients[r].state
                     mappers[r].step_batch(
                         jnp.asarray(depths[r][sl]),
                         jnp.asarray(colors[r][sl]),
                         jnp.asarray(odom_all[r][osl]), ts)
-                    # the client serves timeline/submaps straight off
-                    # this state (in-process ClientHandler duality)
                     clients[r].state = mappers[r].state
-        # keyframes + closures once per lap (frames already on host)
-        for k in range(0, N_LAP, 4):
-            i = lap * N_LAP + k
+            stage["integrate"] += time.perf_counter() - t0
+            # deferred local solves accumulated from forwarded closures
+            t0 = time.perf_counter()
             for r in range(2):
-                for mf in detector.add_keyframe(
-                        r, i * DT, jnp.asarray(colors[r][k]),
-                        jnp.asarray(depths[r][k])):
-                    n_candidates += 1
-                    if server.map_fusion(mf):
-                        n_fusions += 1
-        server.process_mf_future()
-        # incremental live mesh of robot 0 (the streaming path);
-        # live_mesh DONATES mapper state, so run under the client lock
-        # and rebind the alias (ADVICE r4 — the async PGO thread reads
-        # clients[0].state)
+                with clients[r].lock:
+                    if clients[r].run_pending_local_pgo():
+                        mappers[r].state = clients[r].state
+            stage["local_pgo"] += time.perf_counter() - t0
+            # hand this window's keyframes to the detector thread (the
+            # frames exist in the map now — reference topic causality)
+            for k in range(w0, w0 + WINDOW, KF_STRIDE):
+                for r in range(2):
+                    kf_jobs.put((r, k, (lap * N_LAP + k) * DT))
+        # incremental live mesh of robot 0 (the streaming serving path);
+        # live_mesh DONATES mapper state → under the client lock
+        t0 = time.perf_counter()
         with clients[0].lock:
-            mappers[0].state = clients[0].state   # pick up server pushes
+            mappers[0].state = clients[0].state
             viewer.update_from_mapper(mappers[0])
             clients[0].state = mappers[0].state
+        stage["live_mesh"] += time.perf_counter() - t0
         live_updates += 1
-        print(f"lap {lap + 1}/{args.laps}: fusions {n_fusions}, "
+        print(f"lap {lap + 1}/{args.laps}: fused {counts['fused']}, "
+              f"kf queue {kf_jobs.qsize()}, "
               f"server submaps {len(server.submaps)}, "
-              f"live chunks re-meshed "
-              f"{sum(m.chunks_remeshed for m in mappers[0]._meshers.values())}")
+              f"coalesced solves {server.coalesced_solves}")
+    stream_wall = time.time() - t_start
+
+    # drain: detector finishes the queued tail, then the last solve lands
+    t0 = time.perf_counter()
+    kf_jobs.put(None)
+    det_thread.join()
+    server.process_mf_future()
     server.wait_for_optimize()
-    stream_wall = time.time() - t0
+    for r in range(2):
+        with clients[r].lock:
+            if clients[r].run_pending_local_pgo():
+                mappers[r].state = clients[r].state
+    drain_wall = time.perf_counter() - t0
+    pipeline_wall = time.time() - t_start
+    solve_wall = sum(f.get("solve_wall", 0.0) for f in server.fusion_log)
 
     for r in range(2):
         with clients[r].lock:
             mappers[r].state = clients[r].state   # pick up server pushes
             mappers[r].finish_map()
             clients[r].state = mappers[r].state
-    solve_wall = sum(f.get("solve_wall", 0.0) for f in server.fusion_log)
 
     t_mesh = time.time()
     merged, verts, cols = server.get_final_global_mesh(
@@ -249,20 +308,74 @@ def main():
                                gt_stamps, gt_all[r], align=False)
         ates.append(float(ate))
 
+    # -- wire-bandwidth stage (VERDICT r4 Missing #2) ------------------
+    # per-submap voxel-wire vs mesh-wire bytes + encode latency on the
+    # MISSION's own submaps (eval_data_publisher.h:23-31 /
+    # msg_converter.h:149-167 sizeOfMsg — the L2 mesh tier exists to win
+    # exactly this ratio)
+    bw = wire.BandwidthLog()
+    mesh_bytes = []
+    n_bw = min(4, len(server.submaps))
+    for s in server.submaps[:n_bw]:
+        t0 = time.perf_counter()
+        msg = wire.pack_submap_msg(
+            spec, s.client_id, s.client_submap_id, s.layer,
+            s.T_cli_submap, s.start_time, s.end_time,
+            s.hist_stamps, s.hist_poses)
+        bw.record(f"submap_{s.sid}_voxel", len(msg), t0)
+        voxel_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        m = mesh_comm.encode_submap_mesh(
+            spec, s.layer, s.hist_stamps, s.hist_poses, cfg.intrinsics,
+            client_id=s.client_id, submap_id=s.client_submap_id)
+        mb = m.nbytes()
+        bw.record(f"submap_{s.sid}_mesh", mb, t0)
+        mesh_bytes.append((len(msg), mb, voxel_s,
+                           time.perf_counter() - t0))
+    bw_art = {}
+    if mesh_bytes:
+        vb = [x[0] for x in mesh_bytes]
+        mb_ = [x[1] for x in mesh_bytes]
+        bw_art = {
+            "submaps_measured": n_bw,
+            "voxel_wire_bytes_per_submap": int(np.mean(vb)),
+            "mesh_wire_bytes_per_submap": int(np.mean(mb_)),
+            "mesh_vs_voxel_ratio": round(float(np.sum(mb_) / np.sum(vb)), 4),
+            "voxel_wire_s_per_transfer": round(
+                float(np.mean([x[2] for x in mesh_bytes])), 3),
+            "mesh_wire_s_per_transfer": round(
+                float(np.mean([x[3] for x in mesh_bytes])), 3),
+            "voxel_size_m": spec.voxel_size,
+            "submap_interval_s": cfg.submap_interval,
+        }
+
     sat = [m.union_saturation() for m in mappers]
     art = {
         "frames": 2 * n_frames,
+        "sensor_rate_fps": 2.0 / DT,
+        "pipeline_wall_s": round(pipeline_wall, 2),
+        "pipeline_fps": round(2 * n_frames / pipeline_wall, 2),
         "stream_wall_s": round(stream_wall, 2),
         "stream_fps": round(2 * n_frames / stream_wall, 2),
-        "fusion_candidates": n_candidates,
-        "fusions_accepted": n_fusions,
+        "realtime_factor": round(
+            (2 * n_frames / pipeline_wall) / (2.0 / DT), 2),
+        "stage_wall_s": {k: round(v, 2) for k, v in stage.items()},
+        "drain_wall_s": round(drain_wall, 2),
         "async_solve_wall_s": round(solve_wall, 2),
+        "n_solves": len(server.fusion_log),
+        "coalesced_solves": server.coalesced_solves,
+        "keyframes": counts["kf"],
+        "detect_ms_per_keyframe": round(
+            1e3 * stage["detect"] / max(counts["kf"], 1), 1),
+        "fusion_candidates": counts["cand"],
+        "fusions_accepted": counts["fused"],
         "server_submaps": len(server.submaps),
         "ate_m": [round(a, 4) for a in ates],
         "union_watermark": [s[0] for s in sat],
         "dropped_union_blocks": [s[1] for s in sat],
         "dropped_submap_rollovers": [m.dropped_submaps for m in mappers],
         "server_dropped_constraints": int(server.constraints.num_dropped()),
+        "dropped_keyframes": detector.dropped_keyframes,
         "live_mesh_updates": live_updates,
         "live_chunks_remeshed": sum(
             m.chunks_remeshed for mp in mappers for m in mp._meshers.values()),
@@ -270,13 +383,15 @@ def main():
         "final_mesh_wall_s": round(mesh_wall, 2),
         "surface_err_p90_m": round(float(np.quantile(sdf, 0.9)), 4),
         "backend": jax.default_backend(),
-        "optimize_errors": server.optimize_errors,
+        "optimize_errors": server.optimize_errors + det_errors,
+        "wire_bandwidth": bw_art,
     }
     with open(args.out, "w") as f:
         f.write(json.dumps(art) + "\n")
     print(json.dumps(art))
     ok = (max(ates) < 0.25 and not server.optimize_errors
-          and n_fusions > 0 and verts.shape[0] > 1000)
+          and not det_errors
+          and counts["fused"] > 0 and verts.shape[0] > 1000)
     print("ENDURANCE", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
