@@ -328,7 +328,7 @@ def main():
         m = mesh_comm.encode_submap_mesh(
             spec, s.layer, s.hist_stamps, s.hist_poses, cfg.intrinsics,
             client_id=s.client_id, submap_id=s.client_submap_id)
-        mb = m.nbytes()
+        mb = m.nbytes
         bw.record(f"submap_{s.sid}_mesh", mb, t0)
         mesh_bytes.append((len(msg), mb, voxel_s,
                            time.perf_counter() - t0))
