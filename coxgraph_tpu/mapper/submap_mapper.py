@@ -410,6 +410,12 @@ class HostMapper:
         # incremental per-submap meshers (VERDICT r3 Missing #1): lazily
         # created by live_mesh(); dirty bits live in state.mesh_dirty
         self._meshers: dict = {}
+        # HOST mirror of which submaps integrated anything since their
+        # last live_mesh: live_mesh_odom skips clean cached submaps
+        # without touching the device (polling 20 finished submaps'
+        # dirty bitmaps was 2 dispatches + a readback EACH per update —
+        # ~20 s/update on the round-5 endurance pipeline)
+        self._touched_submaps: set = set()
         # deferred window-overflow check: step_batch schedules an ASYNC
         # host copy of the union counters after each window and consumes
         # the previous window's (already-landed) values at the next call
@@ -537,6 +543,7 @@ class HostMapper:
         layer = get_layer(self.state.collection.layers,
                           jnp.asarray(k, jnp.int32))
         mesher.update(layer, row)
+        self._touched_submaps.discard(k)
         return mesher.mesh()
 
     def live_mesh_odom(self, **kwargs):
@@ -550,7 +557,14 @@ class HostMapper:
         poses = np.asarray(self.state.collection.T_odom_submap)
         vs, cs = [], []
         for k in range(n):
-            v, c = self.live_mesh(k, **kwargs)
+            if k in self._meshers and k not in self._touched_submaps:
+                # nothing integrated since this submap's last refresh:
+                # its cached soup is current — zero device work (the
+                # re-posing below still applies any pose update;
+                # live_mesher() validates kwargs against the cache)
+                v, c = self.live_mesher(k, **kwargs).mesh()
+            else:
+                v, c = self.live_mesh(k, **kwargs)
             if v.shape[0] == 0:
                 continue
             vw = geo.transform_points_np(
@@ -590,6 +604,7 @@ class HostMapper:
                 started = True
         self.state = integrate(self.cfg, self.state, depth, color,
                                T_odom_cam, jnp.asarray(t, jnp.float32))
+        self._touched_submaps.add(max(self.n_submaps - 1, 0))
         return started
 
     def step_points(self, points: Array, colors: Optional[Array],
@@ -616,6 +631,7 @@ class HostMapper:
         self.state = integrate_points(self.cfg, self.state, points, colors,
                                       valid, T_odom_sensor,
                                       jnp.asarray(t, jnp.float32))
+        self._touched_submaps.add(max(self.n_submaps - 1, 0))
         return started
 
     def step_batch(self, depths: Array, colors: Optional[Array],
@@ -663,6 +679,7 @@ class HostMapper:
                     self.cfg, self.state, depths[lo:hi],
                     None if colors is None else colors[lo:hi],
                     T_odom_cams[lo:hi], jnp.asarray(ts[lo:hi]))
+                self._touched_submaps.add(max(self.n_submaps - 1, 0))
         # persist the interval clock even when the last rollover(s) were
         # saturation-DROPPED (step() does `self.last_start = t` on that
         # path): leaving it at the last REAL start would re-fire

@@ -114,6 +114,13 @@ class ServerConfig:
     # detector thread behind every solve (~0.5-1 s each). The reference's
     # wait-for-previous gate is the default (False).
     nonblocking_pgo: bool = False
+    # Minimum wall seconds between solve STARTS in the nonblocking loop:
+    # without it, a steady fusion stream keeps the pending flag set and
+    # the solve thread re-runs back-to-back, monopolizing the device
+    # (28 solves in a 335 s soak, ~40% of total device time). 0 = no
+    # cooldown. The reference's solve cadence is likewise bounded by its
+    # refuse interval, server.yaml:15.
+    min_solve_interval: float = 0.0
 
 
 def average_same_stamp(stamps: np.ndarray, poses: np.ndarray,
@@ -360,17 +367,57 @@ class CoxgraphServer:
         with self._state_lock:
             return self._add_submap_locked(h)
 
+    def _acquire_submap(self, cid: int, t: float) -> Optional[int]:
+        """Server submap covering client ``cid`` at time ``t``, serving
+        from the collection when the stored interval already covers t
+        (the reference's send-once ClientHandler cache — a finished
+        submap never changes, so re-pulling it per fusion paid a layer
+        transfer + ~6 small host readbacks for nothing). Falls back to
+        the client pull for unseen/active intervals."""
+        with self._state_lock:
+            for s in self.submaps:
+                if s.client_id == cid and \
+                        s.start_time - 1e-6 <= t <= s.end_time + 1e-6:
+                    return s.sid
+        h = self.clients[cid].get_submap_by_time(t)
+        if h is None:
+            return None
+        return self._add_submap(h)
+
+    def _pose_in_submap(self, sid: int, t: float) -> Optional[np.ndarray]:
+        """T_submap_cam at ``t`` from the server-stored history when it
+        covers t (host math, zero client round trips), else via the
+        client's lookup service."""
+        s = self.submaps[sid]
+        hs = np.asarray(s.hist_stamps)
+        if hs.size and hs[0] - 1e-6 <= t <= hs[-1] + 1e-6:
+            return np.asarray(geo.lookup_pose_np(hs,
+                                                 np.asarray(s.hist_poses),
+                                                 t))
+        out = self.clients[s.client_id].lookup_pose_in_submap(
+            s.client_submap_id, t)
+        return None if out is None else np.asarray(out)
+
     def _add_submap_locked(self, h: SubmapHandle) -> Optional[int]:
         """→ server submap id, or None when the pool is saturated
         (warn-and-reject; the server keeps serving)."""
         key = (h.client_id, h.client_submap_id)
         if key in self.cli_ser:
             sid = self.cli_ser[key]
+            old = self.submaps[sid]
+            if h.end_time <= old.end_time + 1e-9:
+                # send-once discipline: the client has integrated NOTHING
+                # new into this submap since the last pull — keep the
+                # stored layer AND its version-cached geometry/reg-points
+                # (re-pulling invalidated the caches every fusion and
+                # cost a layer transfer + geometry readback for zero new
+                # information; measured 3 s/accepted-fusion on the
+                # round-5 endurance pipeline)
+                return sid
             # refresh layer + history (client kept integrating); keep the
             # original odom pose and the optimized global pose. version
             # bump invalidates the reg cache AND guards any in-flight
             # solve's async cache write-back (nonblocking PGO)
-            old = self.submaps[sid]
             nb, aabb = self._submap_geom(h.layer)
             self.submaps[sid] = ServerSubmap(
                 sid=sid, client_id=h.client_id,
@@ -636,12 +683,18 @@ class CoxgraphServer:
         unregisters itself INSIDE _kick_lock so a racing kick either sees
         it alive (sets pending, consumed here) or starts a fresh one."""
         while True:
+            t0 = time.monotonic()
             self._optimize_guarded()
             with self._kick_lock:
                 if not self._solve_pending:
                     self._opt_thread = None
                     return
                 self._solve_pending = False
+            rem = self.cfg.min_solve_interval - (time.monotonic() - t0)
+            if rem > 0:
+                # cooldown before the coalesced re-run (more fusions may
+                # coalesce meanwhile — strictly fewer, bigger solves)
+                time.sleep(rem)
 
     def _kick_optimize(self) -> None:
         if not self.cfg.async_pgo:
@@ -669,29 +722,19 @@ class CoxgraphServer:
         # write-backs are version/count-guarded (optimize()).
         if not self.cfg.nonblocking_pgo:
             self.wait_for_optimize()
-        ca = self.clients[mf.from_client]
-        cb = self.clients[mf.to_client]
-        ha = ca.get_submap_by_time(mf.from_time)
-        hb = cb.get_submap_by_time(mf.to_time)
-        if ha is None or hb is None:
-            # FUTURE (time ahead of the robot's map) or FAILED (robot
-            # unreachable) — both requeue and retry on later timeline
-            # updates, the reference's degradation
-            # (coxgraph_server.cpp:287-295, client_handler.cpp:103)
-            return False
-
-        sa = self._add_submap(ha)
-        sb = self._add_submap(hb)
+        sa = self._acquire_submap(mf.from_client, mf.from_time)
+        sb = self._acquire_submap(mf.to_client, mf.to_time)
         if sa is None or sb is None:
-            # submap pool saturated (warned in _add_submap_locked): the
-            # fusion cannot land; requeue/retry like a FUTURE fusion —
-            # it expires after max_future_retries
+            # FUTURE (time ahead of the robot's map), FAILED (robot
+            # unreachable) or pool-saturated — all requeue and retry on
+            # later timeline updates, the reference's degradation
+            # (coxgraph_server.cpp:287-295, client_handler.cpp:103)
             return False
 
         # submap-level measurement: T_SA_SB = T_SA_ta · T_ta_tb · T_SB_tb⁻¹
         # (coxgraph_server.cpp:449-464)
-        T_sa_ta = ca.lookup_pose_in_submap(ha.client_submap_id, mf.from_time)
-        T_sb_tb = cb.lookup_pose_in_submap(hb.client_submap_id, mf.to_time)
+        T_sa_ta = self._pose_in_submap(sa, mf.from_time)
+        T_sb_tb = self._pose_in_submap(sb, mf.to_time)
         if T_sa_ta is None or T_sb_tb is None:
             # robot died between the submap fetch and the pose lookup —
             # the submaps stay collected (valid data), the fusion retries

@@ -123,6 +123,28 @@ def main():
     colors = [np.asarray(z["c0"]), np.asarray(z["c1"])]
     trajs = [np.asarray(z["traj0"]), np.asarray(z["traj1"])]
 
+    # Pre-stage the lap frames ON DEVICE once (color as u8): per-window
+    # host→device uploads over the ~2 MB/s axon tunnel were the single
+    # biggest "integrate" cost of the first round-5 soak (~90 s of 335);
+    # a real robot's sensor feed DMAs at PCIe rates, so staging models
+    # the sensor path honestly (the bench frame-cache discipline).
+    # Window/keyframe access goes through jitted TRACED-index slicers —
+    # eager `arr[k]` per index compiles a fresh tunnel program each
+    # (CLAUDE.md host discipline).
+    d_dev = [jnp.asarray(depths[r]) for r in range(2)]
+    c_dev = [jnp.asarray(np.clip(colors[r] * 255.0, 0, 255)
+                         .astype(np.uint8)) for r in range(2)]
+
+    @jax.jit
+    def window_at(d, c, i0):
+        dw = jax.lax.dynamic_slice_in_dim(d, i0, WINDOW)
+        cw = jax.lax.dynamic_slice_in_dim(c, i0, WINDOW)
+        return dw, cw.astype(jnp.float32) / 255.0
+
+    @jax.jit
+    def frame_at(d, c, i):
+        return d[i], c[i].astype(jnp.float32) / 255.0
+
     n_frames = args.laps * N_LAP
     spec = vx.VoxelGridSpec(voxel_size=0.05, voxels_per_side=16,
                             grid_dim=64, max_blocks=1024, truncation=0.15)
@@ -173,6 +195,7 @@ def main():
             spec=spec, max_submaps=48, refuse_interval=2.0,
             intra_refuse_interval=2.0,
             async_pgo=True, nonblocking_pgo=True,
+            min_solve_interval=3.0,
             registration_weight=30.0,
             registration=fs.reg.RegistrationConfig(max_points=1024,
                                                    iterations=10)),
@@ -201,9 +224,8 @@ def main():
                     return
                 r, k, t = job
                 t0 = time.perf_counter()
-                mfs = detector.add_keyframe(
-                    r, t, jnp.asarray(colors[r][k]),
-                    jnp.asarray(depths[r][k]))
+                dk, ck = frame_at(d_dev[r], c_dev[r], k)
+                mfs = detector.add_keyframe(r, t, ck, dk)
                 stage["detect"] += time.perf_counter() - t0
                 counts["kf"] += 1
                 for mf in mfs:
@@ -227,8 +249,8 @@ def main():
             ts = (np.arange(WINDOW) + i0) * DT
             t0 = time.perf_counter()
             for r in range(2):
-                sl = slice(w0, w0 + WINDOW)
                 osl = slice(i0, i0 + WINDOW)
+                dw, cw = window_at(d_dev[r], c_dev[r], w0)
                 with clients[r].lock:
                     # resync FIRST: the async-PGO server rebinds
                     # client.state on pose pushes / forwarded closures —
@@ -236,9 +258,7 @@ def main():
                     # them (ADVICE r4)
                     mappers[r].state = clients[r].state
                     mappers[r].step_batch(
-                        jnp.asarray(depths[r][sl]),
-                        jnp.asarray(colors[r][sl]),
-                        jnp.asarray(odom_all[r][osl]), ts)
+                        dw, cw, jnp.asarray(odom_all[r][osl]), ts)
                     clients[r].state = mappers[r].state
             stage["integrate"] += time.perf_counter() - t0
             # deferred local solves accumulated from forwarded closures
