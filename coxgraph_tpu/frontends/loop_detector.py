@@ -131,6 +131,51 @@ def _match_and_verify(db_desc, db_valid, db_pcam, db_hdep, elig, q,
     return top_scores, top_idx, Ts, n_inls, spreads
 
 
+@partial(jax.jit, static_argnums=(0, 3))
+def _detect_batch(intr, colors, depths, cfg: ft.FeatureConfig):
+    """vmapped detect_and_describe → Keypoints with (B, ...) leaves."""
+    return jax.vmap(lambda c, d: ft.detect_and_describe(intr, c, d, cfg))(
+        colors, depths)
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8))
+def _match_and_verify_batch(db_desc, db_valid, db_pcam, db_hdep, elig_b,
+                            q_b, cfg: ft.FeatureConfig, max_cand: int,
+                            match_chunk: int, key=None):
+    """B queries against the DB in ONE dispatch/readback (per-keyframe
+    readbacks each queue behind whatever long program is on the shared
+    chip — a solve in flight turns 25 ms into seconds; measured on the
+    round-5 endurance pipeline). Batch members are matched against the
+    DB as it stood BEFORE the batch (they meet each other next batch)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, elig_b.shape[0])
+
+    def one(elig, q, k):
+        return _match_and_verify.__wrapped__(
+            db_desc, db_valid, db_pcam, db_hdep, elig, q, cfg, max_cand,
+            match_chunk, k)
+
+    return jax.vmap(one)(elig_b, q_b, keys)
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _db_append_batch(db_desc, db_valid, db_pcam, db_hdep,
+                     kps: ft.Keypoints, slots):
+    """Write B keyframes at traced slots in one donated dispatch."""
+    upd = jax.lax.dynamic_update_index_in_dim
+
+    def body(carry, x):
+        dd, dv, dp, dh = carry
+        kp, s = x
+        return (upd(dd, kp.desc, s, 0), upd(dv, kp.valid, s, 0),
+                upd(dp, kp.p_cam, s, 0), upd(dh, kp.has_depth, s, 0)), None
+
+    (dd, dv, dp, dh), _ = jax.lax.scan(
+        body, (db_desc, db_valid, db_pcam, db_hdep), (kps, slots))
+    return dd, dv, dp, dh
+
+
 @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
 def _db_append(db_desc, db_valid, db_pcam, db_hdep, kp: ft.Keypoints, n):
     """In-place keyframe write at traced slot n (one cached program for
@@ -230,6 +275,40 @@ class LoopDetector:
                                     self.cfg.features)
         return self.ingest_keypoints(client_id, t, kp, key=key)
 
+    def _eligibility(self, client_id: int, t: float) -> np.ndarray:
+        """(cap,) bool: live slots minus same-client-too-recent."""
+        cfg = self.cfg
+        elig = np.zeros((cfg.max_keyframes,), bool)
+        for s_i, kf in enumerate(self.slots):
+            if kf is None:
+                continue
+            if kf.client_id == client_id and \
+                    abs(t - kf.t) < cfg.min_time_separation:
+                continue
+            elig[s_i] = True
+        return elig
+
+    def _gate_results(self, client_id: int, t: float, scores, idx, Ts,
+                      n_inls, spreads) -> List[MapFusionMsg]:
+        """Host gates on the (already-read) verify tuple → messages."""
+        cfg = self.cfg
+        out: List[MapFusionMsg] = []
+        for r in range(len(scores)):
+            if int(scores[r]) < cfg.min_match_score:
+                continue
+            kf = self.slots[int(idx[r])]
+            if kf is None:
+                continue
+            if (int(n_inls[r]) >= cfg.min_inliers
+                    and float(spreads[r]) >= cfg.min_inlier_spread):
+                si = (cfg.sqrt_info * np.eye(6, dtype=np.float32)
+                      if cfg.sqrt_info > 0 else None)
+                out.append(MapFusionMsg(
+                    from_client=kf.client_id, from_time=kf.t,
+                    to_client=client_id, to_time=t,
+                    T_from_to=np.asarray(Ts[r]), sqrt_info=si))
+        return out
+
     def ingest_keypoints(self, client_id: int, t: float, kp: ft.Keypoints,
                          key: Optional[Array] = None) -> List[MapFusionMsg]:
         """Keypoint-level entry (add_keyframe minus detection — remote
@@ -240,14 +319,7 @@ class LoopDetector:
         cfg = self.cfg
         msgs: List[MapFusionMsg] = []
         if self.n_keyframes > 0:
-            elig = np.zeros((cfg.max_keyframes,), bool)
-            for s_i, kf in enumerate(self.slots):
-                if kf is None:
-                    continue
-                if kf.client_id == client_id and \
-                        abs(t - kf.t) < cfg.min_time_separation:
-                    continue
-                elig[s_i] = True
+            elig = self._eligibility(client_id, t)
             if elig.any():
                 k = (jax.random.PRNGKey(self.total_keyframes * 97)
                      if key is None else key)
@@ -259,21 +331,8 @@ class LoopDetector:
                         self._db_desc, self._db_valid, self._db_pcam,
                         self._db_hdep, jnp.asarray(elig), kp,
                         cfg.features, mc, cfg.match_chunk, k))
-                for r in range(mc):
-                    if int(scores[r]) < cfg.min_match_score:
-                        continue
-                    kf = self.slots[int(idx[r])]
-                    if kf is None:
-                        continue
-                    if (int(n_inls[r]) >= cfg.min_inliers
-                            and float(spreads[r]) >= cfg.min_inlier_spread):
-                        si = (cfg.sqrt_info
-                              * np.eye(6, dtype=np.float32)
-                              if cfg.sqrt_info > 0 else None)
-                        msgs.append(MapFusionMsg(
-                            from_client=kf.client_id, from_time=kf.t,
-                            to_client=client_id, to_time=t,
-                            T_from_to=np.asarray(Ts[r]), sqrt_info=si))
+                msgs = self._gate_results(client_id, t, scores, idx, Ts,
+                                          n_inls, spreads)
         slot = self._alloc_slot(client_id)
         (self._db_desc, self._db_valid, self._db_pcam,
          self._db_hdep) = _db_append(
@@ -281,4 +340,72 @@ class LoopDetector:
             kp, jnp.asarray(slot, jnp.int32))
         self.slots[slot] = Keyframe(client_id=client_id, t=t)
         self.total_keyframes += 1
+        return msgs
+
+    _BATCH = 4      # fixed sub-batch size (one compiled program)
+
+    def add_keyframes_batch(self, items,
+                            key: Optional[Array] = None
+                            ) -> List[MapFusionMsg]:
+        """Batched ingest: ``items`` = [(client_id, t, color, depth)].
+        Stride-gates, then processes fixed sub-batches of 4 frames with
+        one detect dispatch + one fused match/verify dispatch + ONE
+        readback + one donated batch-append each; the remainder rides
+        the single path. On a shared chip, per-keyframe readbacks each
+        queue behind whatever long program is in flight (a solve turns
+        25 ms into seconds) — batching divides that toll by 4.
+
+        Sub-batch members are matched against the DB as of the sub-batch
+        start, so two keyframes of the SAME sub-batch meet on the next
+        ingest (0.4-1.6 s later at mission strides) — absorbed by the
+        server's refuse-interval smoothing."""
+        todo = []
+        for cid, t, c, d in items:
+            last = self._last_kf_time.get(cid)
+            if last is not None and \
+                    t - last < self.cfg.keyframe_stride - 1e-9:
+                continue
+            self._last_kf_time[cid] = t
+            todo.append((cid, t, c, d))
+        msgs: List[MapFusionMsg] = []
+        while len(todo) >= self._BATCH:
+            chunk, todo = todo[:self._BATCH], todo[self._BATCH:]
+            msgs.extend(self._ingest_chunk(chunk, key))
+        for cid, t, c, d in todo:
+            kp = ft.detect_and_describe(self.intr, c, d, self.cfg.features)
+            msgs.extend(self.ingest_keypoints(cid, t, kp, key=key))
+        return msgs
+
+    def _ingest_chunk(self, chunk, key) -> List[MapFusionMsg]:
+        self._ensure_db()
+        cfg = self.cfg
+        colors = jnp.stack([c for _, _, c, _ in chunk])
+        depths = jnp.stack([d for _, _, _, d in chunk])
+        kps = _detect_batch(self.intr, colors, depths, cfg.features)
+        msgs: List[MapFusionMsg] = []
+        if self.n_keyframes > 0:
+            elig = np.stack([self._eligibility(cid, t)
+                             for cid, t, _, _ in chunk])
+            if elig.any():
+                k = (jax.random.PRNGKey(self.total_keyframes * 97)
+                     if key is None else key)
+                mc = min(cfg.max_candidates, cfg.max_keyframes)
+                scores, idx, Ts, n_inls, spreads = jax.device_get(
+                    _match_and_verify_batch(
+                        self._db_desc, self._db_valid, self._db_pcam,
+                        self._db_hdep, jnp.asarray(elig), kps,
+                        cfg.features, mc, cfg.match_chunk, k))
+                for b, (cid, t, _, _) in enumerate(chunk):
+                    msgs.extend(self._gate_results(
+                        cid, t, scores[b], idx[b], Ts[b], n_inls[b],
+                        spreads[b]))
+        slots = np.asarray([self._alloc_slot(cid)
+                            for cid, _, _, _ in chunk], np.int32)
+        (self._db_desc, self._db_valid, self._db_pcam,
+         self._db_hdep) = _db_append_batch(
+            self._db_desc, self._db_valid, self._db_pcam, self._db_hdep,
+            kps, jnp.asarray(slots))
+        for (cid, t, _, _), s in zip(chunk, slots):
+            self.slots[int(s)] = Keyframe(client_id=cid, t=t)
+            self.total_keyframes += 1
         return msgs

@@ -136,18 +136,31 @@ def check_loop_closure_candidates(
                                                          cfg)
             if caches is not None:
                 caches[i] = (pts, sdf_i, mask_i)
-        r, m = reg.registration_residuals(
-            spec, layers[j], pts, sdf_i, mask_i,
-            geo.identity(), jnp.asarray(T_i_j))
-        m = np.asarray(m)
-        r = np.asarray(r)[m]
-        n = int(m.sum())
-        rms = float(np.sqrt(np.mean(r ** 2))) if n else np.inf
+        # ONE two-scalar readback (rms², n): pulling the full (P,)
+        # residual/mask pair was two buffer readbacks per candidate,
+        # each queueing behind any in-flight solve on a shared chip
+        rms2, n = jax.device_get(_candidate_stats(
+            spec, layers[j], pts, sdf_i, mask_i, jnp.asarray(T_i_j)))
+        n = int(n)
+        rms = float(np.sqrt(rms2)) if n else np.inf
         out.append({"i": int(i), "j": int(j), "rms": rms / spec.voxel_size,
                     "n_inliers": n,
                     "ok": bool(n >= min_inliers
                                and rms / spec.voxel_size <= max_rms)})
     return out
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _candidate_stats(spec: vx.VoxelGridSpec, layer_j: vx.TsdfLayer,
+                     pts: Array, sdf_i: Array, mask_i: Array,
+                     T_i_j: Array):
+    """(mean squared masked residual, inlier count) for one candidate —
+    the device side of check_loop_closure_candidates."""
+    r, m = reg.registration_residuals(spec, layer_j, pts, sdf_i, mask_i,
+                                      geo.identity(), T_i_j)
+    n = m.sum()
+    rms2 = jnp.sum(jnp.where(m, r * r, 0.0)) / jnp.maximum(n, 1)
+    return rms2, n
 
 
 def _next_pow2(n: int) -> int:

@@ -131,3 +131,42 @@ def test_keyframe_pool_capacity_and_eviction():
     err = geo.se3_log(geo.relative(jnp.asarray(m.T_from_to),
                                    geo.identity()))
     assert float(jnp.linalg.norm(err)) < 0.05
+
+
+def test_batched_ingest_cross_robot():
+    """add_keyframes_batch (the shared-chip streaming path: one detect +
+    one fused match/verify dispatch + ONE readback per 4-frame
+    sub-batch) must find the same cross-robot revisits as the single
+    path, with the same transform accuracy."""
+    scene = syn.default_scene()
+    t0 = syn.orbit_trajectory(4, scene.room_center, radius=2.5,
+                              sweep=jnp.pi / 2)
+    t1 = syn.orbit_trajectory(4, scene.room_center, radius=2.5,
+                              sweep=jnp.pi / 2, start_angle=-0.15)
+    cfg = ld.LoopDetectorConfig(
+        features=ft.FeatureConfig(max_keypoints=384),
+        min_match_score=25, min_inliers=15, keyframe_stride=0.0,
+        min_time_separation=1e9)
+    det = ld.LoopDetector(INTR, cfg)
+
+    items0 = []
+    for i in range(4):
+        d, c = syn.render_depth(scene, INTR, t0[i])
+        items0.append((0, i * 1.0, c, d))
+    assert det.add_keyframes_batch(items0) == []
+    assert det.total_keyframes == 4
+
+    items1 = []
+    for i in range(4):
+        d, c = syn.render_depth(scene, INTR, t1[i])
+        items1.append((1, 100.0 + i, c, d))
+    found = det.add_keyframes_batch(items1)
+    assert found, "no cross-robot loop detected via the batched path"
+    assert det.total_keyframes == 8
+    for m in found:
+        assert m.from_client == 0 and m.to_client == 1
+        Ta = t0[int(round(m.from_time))]
+        Tb = t1[int(round(m.to_time - 100.0))]
+        T_true = geo.relative(Ta, Tb)
+        err = geo.se3_log(geo.relative(jnp.asarray(m.T_from_to), T_true))
+        assert float(jnp.linalg.norm(err[3:])) < 0.08, np.asarray(err)

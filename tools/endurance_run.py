@@ -195,10 +195,16 @@ def main():
             spec=spec, max_submaps=48, refuse_interval=2.0,
             intra_refuse_interval=2.0,
             async_pgo=True, nonblocking_pgo=True,
-            min_solve_interval=3.0,
+            min_solve_interval=4.0,
             registration_weight=30.0,
-            registration=fs.reg.RegistrationConfig(max_points=1024,
-                                                   iterations=10)),
+            # solve sized to the mission: submaps carry ≲400 live blocks
+            # (union watermark ~310), so max_reg_blocks=512 halves the
+            # per-solve stacked field ((S·R, v³) rebuilt every solve);
+            # 512 surface points is the reference's own subsampling
+            # spirit (sampling_ratio 0.3, server.yaml:30)
+            registration=fs.reg.RegistrationConfig(max_points=512,
+                                                   iterations=8,
+                                                   max_reg_blocks=512)),
         clients)
     detector = ld.LoopDetector(
         cfg.intrinsics,
@@ -222,12 +228,27 @@ def main():
                 job = kf_jobs.get()
                 if job is None:
                     return
-                r, k, t = job
+                # drain up to 8 queued keyframes into one batched ingest
+                # (2 sub-batches of 4): per-keyframe readbacks each queue
+                # behind in-flight solves on the shared chip
+                batch = [job]
+                while len(batch) < 8:
+                    try:
+                        j2 = kf_jobs.get_nowait()
+                    except queue.Empty:
+                        break
+                    if j2 is None:
+                        kf_jobs.put(None)   # re-post the sentinel
+                        break
+                    batch.append(j2)
                 t0 = time.perf_counter()
-                dk, ck = frame_at(d_dev[r], c_dev[r], k)
-                mfs = detector.add_keyframe(r, t, ck, dk)
+                items = []
+                for r, k, t in batch:
+                    dk, ck = frame_at(d_dev[r], c_dev[r], k)
+                    items.append((r, t, ck, dk))
+                mfs = detector.add_keyframes_batch(items)
                 stage["detect"] += time.perf_counter() - t0
-                counts["kf"] += 1
+                counts["kf"] += len(batch)
                 for mf in mfs:
                     counts["cand"] += 1
                     t0 = time.perf_counter()
