@@ -424,6 +424,106 @@ class HostMapper:
         # (utils/runtime.host_callbacks_supported)
         self._pending_stats = None
         self._warned_dropped = 0
+        # stats cadence: schedule/consume the union counters every Nth
+        # window (1 = every window). On a chip shared with long solve
+        # programs, the consume readback queues behind whatever is in
+        # flight — ~1 s per window of pure stall measured on the round-5
+        # endurance pipeline. 0 disables mid-mission checks entirely
+        # (finish_map still reads the final counters). The schedule/
+        # consume pairing keeps captured scalars alive across exactly
+        # one donation cycle.
+        self.stats_check_windows = 1
+        self._windows_done = 0
+        # HOST MIRROR of the client-serving bookkeeping (timeline,
+        # submap-frame pose histories, submap poses): step() inputs are
+        # host data, so the mirror costs only host math to maintain, and
+        # InProcessClient serves timeline/handles/pose lookups with ZERO
+        # device readbacks — on a chip busy with a multi-second solve,
+        # every such readback stalled the fusion path behind the solve
+        # (round-5 endurance "fuse" stage). Device-side pose changes
+        # (optimize_local) refresh it with ONE whole-buffer readback.
+        # only valid when the mirror observed EVERY submap from creation:
+        # a mapper wrapped around pre-existing state (checkpoint restore)
+        # can't reconstruct histories, so it serves from the device
+        self.mirror_enabled = self.n_submaps == 0
+        self.host_T_odom_submap: list = []     # per-submap np (7,)
+        self.host_submaps: list = []           # {start,end,stamps,poses}
+
+    # -- host mirror maintenance (see __init__ mirror_enabled) ----------
+
+    def _mirror_host_pose(self, T_odom_cam):
+        """np view of a pose input, or None after DISABLING the mirror:
+        device-array poses would cost a readback per frame to mirror —
+        callers wanting mirror-backed serving pass host poses (streaming
+        loops do); others gracefully fall back to the device path."""
+        import numpy as np
+
+        if isinstance(T_odom_cam, np.ndarray):
+            return T_odom_cam
+        if self.mirror_enabled:
+            self.mirror_enabled = False
+            self.host_submaps.clear()
+            self.host_T_odom_submap.clear()
+        return None
+
+    def _mirror_start(self, T_odom_cam, t: float) -> None:
+        if not self.mirror_enabled:
+            return
+        import numpy as np
+
+        T = self._mirror_host_pose(T_odom_cam)
+        if T is None:
+            return
+        self.host_T_odom_submap.append(np.asarray(T, np.float32).copy())
+        self.host_submaps.append({"start": float(t), "end": float(t),
+                                  "stamps": [], "poses": []})
+
+    def _mirror_frame(self, T_odom_cam, t: float) -> None:
+        if not self.mirror_enabled or not self.host_submaps:
+            return
+        import numpy as np
+
+        T_odom_cam = self._mirror_host_pose(T_odom_cam)
+        if T_odom_cam is None:
+            return
+        k = len(self.host_submaps) - 1
+        rec = self.host_submaps[k]
+        T_sm_cam = geo.relative_np(self.host_T_odom_submap[k],
+                                   np.asarray(T_odom_cam, np.float32))
+        if len(rec["stamps"]) >= self.cfg.max_history:
+            # saturating append — mirrors the device h-clamp exactly
+            rec["stamps"][-1] = float(t)
+            rec["poses"][-1] = T_sm_cam
+        else:
+            rec["stamps"].append(float(t))
+            rec["poses"].append(T_sm_cam)
+        rec["end"] = float(t)
+
+    def refresh_pose_mirror(self, state: Optional[MapperState] = None
+                            ) -> None:
+        """Re-read submap poses after a DEVICE-side pose change
+        (optimize_local / forwarded loop closures) — ONE whole-buffer
+        readback of (S,7). ``state`` overrides self.state for callers
+        holding the authoritative alias (InProcessClient)."""
+        if not self.mirror_enabled:
+            return
+        import numpy as np
+
+        col = (state or self.state).collection
+        T = np.asarray(col.T_odom_submap)
+        for k in range(min(len(self.host_T_odom_submap), T.shape[0])):
+            self.host_T_odom_submap[k] = T[k].copy()
+
+    def apply_pose_updates_host(self, updates) -> None:
+        """Mirror server-pushed pose updates (host values — free)."""
+        if not self.mirror_enabled:
+            return
+        import numpy as np
+
+        for k, T in updates:
+            if int(k) < len(self.host_T_odom_submap):
+                self.host_T_odom_submap[int(k)] = \
+                    np.asarray(T, np.float32).copy()
 
     def _rollover_sat(self, n: Optional[int] = None) -> bool:
         """True (+warn/count) when a due rollover cannot start a new
@@ -583,6 +683,7 @@ class HostMapper:
         self._consume_pending_stats()
         if self.n_submaps > 1:
             self.state = optimize_local(self.cfg, self.state, solver_cfg)
+            self.refresh_pose_mirror()
         self.union_saturation()
         self.mapping_enabled = False
 
@@ -602,8 +703,10 @@ class HostMapper:
                 self.n_submaps += 1
                 self.last_start = t
                 started = True
+                self._mirror_start(T_odom_cam, t)
         self.state = integrate(self.cfg, self.state, depth, color,
                                T_odom_cam, jnp.asarray(t, jnp.float32))
+        self._mirror_frame(T_odom_cam, t)
         self._touched_submaps.add(max(self.n_submaps - 1, 0))
         return started
 
@@ -628,9 +731,11 @@ class HostMapper:
                 self.n_submaps += 1
                 self.last_start = t
                 started = True
+                self._mirror_start(T_odom_sensor, t)
         self.state = integrate_points(self.cfg, self.state, points, colors,
                                       valid, T_odom_sensor,
                                       jnp.asarray(t, jnp.float32))
+        self._mirror_frame(T_odom_sensor, t)
         self._touched_submaps.add(max(self.n_submaps - 1, 0))
         return started
 
@@ -647,6 +752,10 @@ class HostMapper:
         if not self.mapping_enabled:
             return 0
         self._consume_pending_stats()   # previous window's counters
+        # poses for the mirror — host arrays only (a device input
+        # disables the mirror rather than paying a readback per window)
+        T_host = (self._mirror_host_pose(T_odom_cams)
+                  if self.mirror_enabled else None)
         ts = np.asarray(ts, np.float32)
         F = len(ts)
         starts = []          # frame indices where a rollover fires
@@ -674,19 +783,29 @@ class HostMapper:
                 self.n_submaps = min(self.n_submaps + 1,
                                      self.cfg.max_submaps)
                 self.last_start = float(ts[start_i])
+                if T_host is not None:
+                    self._mirror_start(T_host[start_i], float(ts[start_i]))
             if hi > lo:
                 self.state = integrate_batch(
                     self.cfg, self.state, depths[lo:hi],
                     None if colors is None else colors[lo:hi],
                     T_odom_cams[lo:hi], jnp.asarray(ts[lo:hi]))
                 self._touched_submaps.add(max(self.n_submaps - 1, 0))
+                if T_host is not None:
+                    for i in range(lo, hi):
+                        self._mirror_frame(T_host[i], float(ts[i]))
         # persist the interval clock even when the last rollover(s) were
         # saturation-DROPPED (step() does `self.last_start = t` on that
         # path): leaving it at the last REAL start would re-fire
         # _rollover_sat every window instead of once per interval —
         # warning flood + over-counted dropped_submaps
         self.last_start = last
-        self._schedule_stats_check()
+        self._windows_done += 1
+        if (self.stats_check_windows > 0
+                and self._windows_done % self.stats_check_windows == 0):
+            # scheduled here, consumed at the START of the next window —
+            # before the next donation deletes the captured scalars
+            self._schedule_stats_check()
         return len(starts)
 
 

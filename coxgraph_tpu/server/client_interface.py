@@ -111,6 +111,18 @@ class InProcessClient:
             self.mapping_enabled = False
             return True
 
+    def _mirror(self):
+        """The attached HostMapper's host bookkeeping mirror, when
+        usable: serving timeline/handles/pose lookups from it costs ZERO
+        device readbacks — on a chip busy with a multi-second solve
+        program, every readback in this path stalled the fusion thread
+        behind the solve (round-5 endurance). None ⇒ device path."""
+        m = self.mapper
+        if m is not None and getattr(m, "mirror_enabled", False) \
+                and m.host_submaps:
+            return m
+        return None
+
     # -- topics the client publishes --------------------------------------
 
     def timeline(self) -> Tuple[float, float]:
@@ -119,6 +131,10 @@ class InProcessClient:
         # bind `state` and then np.asarray a deleted buffer (caught by
         # the async-PGO stress test: "Array has been deleted")
         with self.lock:
+            m = self._mirror()
+            if m is not None:
+                return (m.host_submaps[0]["start"],
+                        m.host_submaps[-1]["end"])
             col = self.state.collection
             n = int(col.num_submaps)  # () ready buffer — free
             if n == 0:
@@ -137,6 +153,15 @@ class InProcessClient:
             return self._pose_update_deltas_locked()
 
     def _pose_update_deltas_locked(self) -> List[Tuple[int, Array]]:
+        m = self._mirror()
+        if m is not None:
+            out = []
+            for k, T in enumerate(m.host_T_odom_submap):
+                prev = self._published_poses.get(k)
+                if prev is None or not np.allclose(prev, T, atol=1e-6):
+                    out.append((k, T.copy()))
+                    self._published_poses[k] = T.copy()
+            return out
         col = self.state.collection
         n = int(col.num_submaps)
         if n == 0:
@@ -154,6 +179,12 @@ class InProcessClient:
     # -- services ----------------------------------------------------------
 
     def _submap_index_at(self, t: float) -> Optional[int]:
+        m = self._mirror()
+        if m is not None:
+            for k, rec in enumerate(m.host_submaps):
+                if rec["start"] - 1e-6 <= t <= rec["end"] + 1e-6:
+                    return k
+            return None
         col = self.state.collection
         n = int(col.num_submaps)
         start = np.asarray(col.start_time)
@@ -165,11 +196,24 @@ class InProcessClient:
 
     def _handle(self, k: int) -> SubmapHandle:
         col = self.state.collection
-        h = int(np.asarray(col.hist_count)[k])
         layer = sm._get_layer(col.layers, jnp.asarray(k))
         if k not in self.sent_submaps:
             self.sent_submaps.add(k)
             self.bytes_sent += vx.memory_size_bytes(layer)
+        m = self._mirror()
+        if m is not None and k < len(m.host_submaps):
+            # mirror-backed handle: only the layer slice touches the
+            # device (a lazy dispatch, no readback)
+            rec = m.host_submaps[k]
+            return SubmapHandle(
+                client_id=self.client_id, client_submap_id=k, layer=layer,
+                T_cli_submap=m.host_T_odom_submap[k].copy(),
+                start_time=rec["start"], end_time=rec["end"],
+                hist_stamps=np.asarray(rec["stamps"]),
+                hist_poses=(np.stack(rec["poses"]).astype(np.float32)
+                            if rec["poses"]
+                            else np.zeros((0, 7), np.float32)))
+        h = int(np.asarray(col.hist_count)[k])
         start = np.asarray(col.start_time)
         end = np.asarray(col.end_time)
         return SubmapHandle(
@@ -200,14 +244,29 @@ class InProcessClient:
         # (getAllClientSubmapsCallback + submap_proc_mutex_,
         # coxgraph_client.cpp:83-106)
         with self.lock:
-            return [self._handle(k)
-                    for k in range(int(self.state.collection.num_submaps))]
+            m = self._mirror()
+            n = (len(m.host_submaps) if m is not None
+                 else int(self.state.collection.num_submaps))
+            return [self._handle(k) for k in range(n)]
 
     def get_pose_history(self):
         """Full odom-frame trajectory (stamps, poses) — the client's
         get_pose_history service (coxgraph_client.cpp:38-45, pulled by
         ClientHandler::requestPoseHistory, client_handler.cpp:149-160)."""
         with self.lock:
+            m = self._mirror()
+            if m is not None:
+                ss, ps = [], []
+                for k, rec in enumerate(m.host_submaps):
+                    if not rec["stamps"]:
+                        continue
+                    T = m.host_T_odom_submap[k]
+                    ss.append(np.asarray(rec["stamps"]))
+                    ps.append(geo.compose_np(T[None, :],
+                                             np.stack(rec["poses"])))
+                if not ss:
+                    return np.zeros((0,)), np.zeros((0, 7))
+                return np.concatenate(ss), np.concatenate(ps)
             return sm.trajectory(self.state.collection)
 
     def lookup_pose_in_submap(self, k: int, t: float) -> np.ndarray:
@@ -216,6 +275,12 @@ class InProcessClient:
         Interpolates on the host (whole-buffer transfers only); returns
         HOST numpy — consumers are host control code."""
         with self.lock:
+            m = self._mirror()
+            if m is not None and k < len(m.host_submaps) \
+                    and m.host_submaps[k]["stamps"]:
+                rec = m.host_submaps[k]
+                return np.asarray(geo.lookup_pose_np(
+                    np.asarray(rec["stamps"]), np.stack(rec["poses"]), t))
             col = self.state.collection
             h = int(np.asarray(col.hist_count)[k])
             stamps = np.asarray(col.hist_stamps)[k, :h]
@@ -244,6 +309,8 @@ class InProcessClient:
                 self.local_pgo_pending = True
             else:
                 self.state = sm.optimize_local(self.cfg, self.state)
+                if self.mapper is not None:
+                    self.mapper.refresh_pose_mirror(state=self.state)
             return True
 
     def run_pending_local_pgo(self) -> bool:
@@ -255,6 +322,8 @@ class InProcessClient:
                 return False
             self.local_pgo_pending = False
             self.state = sm.optimize_local(self.cfg, self.state)
+            if self.mapper is not None:
+                self.mapper.refresh_pose_mirror(state=self.state)
             return True
 
     def apply_pose_updates(self, updates: List[Tuple[int, Array]]) -> None:
@@ -264,7 +333,19 @@ class InProcessClient:
         thread while the robot's frame loop owns ``state``."""
         with self.lock:
             col = self.state.collection
-            T = np.asarray(col.T_odom_submap).copy()
+            m = self._mirror()
+            if m is not None:
+                # rebuild the pose table from the host mirror — a device
+                # readback here runs on the SOLVE thread while holding
+                # the client lock, stalling the stream thread behind
+                # whatever program is in flight
+                S = col.T_odom_submap.shape[0]
+                T = np.tile(np.array([1, 0, 0, 0, 0, 0, 0], np.float32),
+                            (S, 1))
+                for k, Tk in enumerate(m.host_T_odom_submap):
+                    T[k] = Tk
+            else:
+                T = np.asarray(col.T_odom_submap).copy()
             for k, pose in updates:
                 T[k] = np.asarray(pose)
                 # don't echo server-pushed poses back as client updates
@@ -273,3 +354,6 @@ class InProcessClient:
                 self.state,
                 collection=dataclasses.replace(col,
                                                T_odom_submap=jnp.asarray(T)))
+            if self.mapper is not None:
+                # mirror the push (host values — free)
+                self.mapper.apply_pose_updates_host(updates)

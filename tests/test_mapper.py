@@ -388,3 +388,70 @@ def test_step_batch_saturation_clock_persists():
     assert hm.n_submaps == 1
     assert hm.dropped_submaps == 1, hm.dropped_submaps
     assert len(msgs) == 1, len(msgs)
+
+
+def test_host_mirror_serving_matches_device_path():
+    """The HostMapper host mirror (round 5): a client with an attached
+    mapper serves timeline/handles/pose lookups/history from host
+    bookkeeping with ZERO device readbacks — results must match the
+    device-derived path bit-for-bit (same f32 math on both sides)."""
+    import numpy as np
+    import pytest
+
+    from coxgraph_tpu.core import geometry as geo
+    from coxgraph_tpu.frontends import synthetic as syn
+    from coxgraph_tpu.server.client_interface import InProcessClient
+
+    cfg = sm.MapperConfig(
+        spec=vx.VoxelGridSpec(voxel_size=0.1, voxels_per_side=8,
+                              grid_dim=32, max_blocks=512, truncation=0.3),
+        integrator=tsdf_ops.TsdfIntegratorConfig(max_touched_blocks=256),
+        intrinsics=syn.PinholeIntrinsics().scaled(0.125),
+        max_submaps=4, max_history=8, submap_interval=0.25)
+    scene = syn.default_scene()
+    traj = np.asarray(syn.orbit_trajectory(6, scene.room_center,
+                                           radius=2.5, sweep=0.4))
+
+    mapper = sm.HostMapper(cfg)
+    cli = InProcessClient(0, cfg, mapper.state)
+    cli.mapper = mapper                      # mirror-backed serving
+    ref_mapper = sm.HostMapper(cfg)
+    ref = InProcessClient(0, cfg, ref_mapper.state)   # device path
+
+    for i in range(6):
+        d, c = syn.render_depth(scene, cfg.intrinsics, jnp.asarray(traj[i]))
+        for m_, c_ in ((mapper, cli), (ref_mapper, ref)):
+            m_.step(d, c, traj[i], i * 0.1)   # HOST pose → mirror valid
+            c_.state = m_.state
+    assert mapper.mirror_enabled and len(mapper.host_submaps) >= 2
+
+    assert cli.timeline() == pytest.approx(ref.timeline(), abs=1e-6)
+    hs_m = cli.get_all_submaps()
+    hs_d = ref.get_all_submaps()
+    assert len(hs_m) == len(hs_d) == mapper.n_submaps
+    for a, b in zip(hs_m, hs_d):
+        assert a.client_submap_id == b.client_submap_id
+        assert a.start_time == pytest.approx(b.start_time, abs=1e-6)
+        assert a.end_time == pytest.approx(b.end_time, abs=1e-6)
+        np.testing.assert_allclose(a.T_cli_submap, b.T_cli_submap,
+                                   atol=1e-6)
+        np.testing.assert_allclose(a.hist_stamps, b.hist_stamps, atol=1e-6)
+        np.testing.assert_allclose(a.hist_poses, b.hist_poses, atol=1e-5)
+    t_mid = 0.15
+    np.testing.assert_allclose(
+        cli.lookup_pose_in_submap(0, t_mid),
+        ref.lookup_pose_in_submap(0, t_mid), atol=1e-5)
+    s_m, p_m = cli.get_pose_history()
+    s_d, p_d = ref.get_pose_history()
+    np.testing.assert_allclose(np.asarray(s_m), np.asarray(s_d), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p_m), np.asarray(p_d), atol=1e-5)
+    # deltas: both publish every submap pose once, then go quiet
+    d_m = cli.pose_update_deltas()
+    d_d = ref.pose_update_deltas()
+    assert len(d_m) == len(d_d) == mapper.n_submaps
+    assert cli.pose_update_deltas() == []
+    # device-pose input disables the mirror gracefully (fallback path)
+    mapper.step(d, c, jnp.asarray(traj[5]), 0.9)
+    cli.state = mapper.state
+    assert not mapper.mirror_enabled
+    assert len(cli.get_all_submaps()) == mapper.n_submaps

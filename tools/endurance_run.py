@@ -190,6 +190,13 @@ def main():
     for c in clients:
         c.defer_local_pgo = True    # closures add; the stream thread solves
     mappers = [sm.HostMapper(cfg, clients[r].state) for r in range(2)]
+    for r in range(2):
+        # attach the mapper so the client serves timeline/handles/pose
+        # lookups from its HOST MIRROR (zero device readbacks on the
+        # fusion path), and check union stats every 8th window (each
+        # mid-mission stats readback queues behind in-flight solves)
+        clients[r].mapper = mappers[r]
+        mappers[r].stats_check_windows = 8
     server = fs.CoxgraphServer(
         fs.ServerConfig(
             spec=spec, max_submaps=48, refuse_interval=2.0,
@@ -278,8 +285,10 @@ def main():
                     # a stale mapper.state rebind would silently revert
                     # them (ADVICE r4)
                     mappers[r].state = clients[r].state
+                    # odometry passed as HOST arrays (the pose mirror
+                    # consumes them; jit converts for the device side)
                     mappers[r].step_batch(
-                        dw, cw, jnp.asarray(odom_all[r][osl]), ts)
+                        dw, cw, odom_all[r][osl], ts)
                     clients[r].state = mappers[r].state
             stage["integrate"] += time.perf_counter() - t0
             # deferred local solves accumulated from forwarded closures
