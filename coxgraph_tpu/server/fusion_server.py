@@ -121,6 +121,13 @@ class ServerConfig:
     # cooldown. The reference's solve cadence is likewise bounded by its
     # refuse interval, server.yaml:15.
     min_solve_interval: float = 0.0
+    # Phase-2 registration pair budget: keep only the N most-overlapping
+    # pairs (world-AABB intersection volume). In a bounded scene every
+    # submap grazes every other and the barely-touching tail multiplies
+    # solve device time (P·Q gather work) for near-zero information —
+    # and a long solve program stalls EVERY other pipeline stage's
+    # readbacks behind it on a shared chip. 0 = unlimited.
+    max_registration_pairs: int = 0
 
 
 def average_same_stamp(stamps: np.ndarray, poses: np.ndarray,
@@ -260,6 +267,10 @@ class CoxgraphServer:
         # periodically via .start() from experiment drivers
         from ..utils.runtime import ResourceSampler
         self._resources = ResourceSampler()
+        # stacked-field cache for the phase-2 solve (see
+        # global_opt.optimize_two_phase stack_cache — valid across solves
+        # under the send-once submap discipline)
+        self._reg_stack_cache: dict = {}
 
     # ------------------------------------------------------------------
     # Distribution controller (distribution_controller.h:49-87)
@@ -853,7 +864,9 @@ class CoxgraphServer:
             reg_cfg=self.cfg.registration, solver_cfg=self.cfg.solver,
             registration_weight=self.cfg.registration_weight,
             skip_pairs=skip, reg_caches=caches, fixed=jnp.asarray(fixed),
-            heights=heights, submap_aabbs=aabbs, submap_blocks=blocks)
+            heights=heights, submap_aabbs=aabbs, submap_blocks=blocks,
+            max_pairs=self.cfg.max_registration_pairs,
+            stack_cache=self._reg_stack_cache)
         info["solve_wall"] = time.monotonic() - t_solve
         # ONE whole-buffer readback of the solution; everything after is
         # host math (per-submap device slices were one tunnel round trip

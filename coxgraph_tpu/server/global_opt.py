@@ -62,6 +62,7 @@ def find_overlapping_pairs(spec: vx.VoxelGridSpec,
                            margin: float = 0.5,
                            aabbs: Optional[Sequence[np.ndarray]] = None,
                            n_blocks: Optional[Sequence[int]] = None,
+                           max_pairs: int = 0,
                            ) -> List[Tuple[int, int]]:
     """Candidate registration pairs by world-AABB intersection
     (updateRegistrationConstraints overlap detection).
@@ -86,8 +87,22 @@ def find_overlapping_pairs(spec: vx.VoxelGridSpec,
                 continue
             if n_blocks[i] and n_blocks[j] \
                     and aabb_overlap(boxes[i], boxes[j], margin):
-                pairs.append((i, j))
-    return pairs
+                # margin-free intersection volume, the ranking key for
+                # max_pairs
+                lo = np.maximum(boxes[i][0], boxes[j][0])
+                hi = np.minimum(boxes[i][1], boxes[j][1])
+                pairs.append((i, j, float(np.prod(np.maximum(hi - lo,
+                                                             0.0)))))
+    if max_pairs and len(pairs) > max_pairs:
+        # keep the max_pairs MOST-overlapping pairs: in a bounded scene
+        # every submap grazes every other, and the long tail of barely-
+        # touching pairs multiplies the phase-2 gather work (the solve's
+        # device time scales with P·Q) for near-zero information — the
+        # reference's Ceres budget relies on its sampling_ratio the same
+        # way (server.yaml:30)
+        pairs.sort(key=lambda p: -p[2])
+        pairs = sorted(pairs[:max_pairs])
+    return [(i, j) for (i, j, _) in pairs]
 
 
 def evaluate_residuals(poses: Array,
@@ -330,6 +345,8 @@ def optimize_two_phase(poses: Array,
                        heights: Optional[pg.HeightConstraints] = None,
                        submap_aabbs: Optional[Sequence[np.ndarray]] = None,
                        submap_blocks: Optional[Sequence[int]] = None,
+                       max_pairs: int = 0,
+                       stack_cache: Optional[dict] = None,
                        ) -> Tuple[Array, dict]:
     """Phase 1: LM over relative-pose constraints (+ optional absolute
     height priors — voxgraph HeightConstraint parity; these also remove
@@ -355,7 +372,8 @@ def optimize_two_phase(poses: Array,
     pairs_idx = find_overlapping_pairs(spec, layers, poses,
                                        skip_adjacent_same_client=skip_pairs,
                                        aabbs=submap_aabbs,
-                                       n_blocks=submap_blocks)
+                                       n_blocks=submap_blocks,
+                                       max_pairs=max_pairs)
     rpairs = make_registration_pairs(spec, layers, pairs_idx, reg_cfg,
                                      caches=reg_caches)
     info = {"phase1_cost": float(res1.cost),
@@ -389,7 +407,18 @@ def optimize_two_phase(poses: Array,
     R = min(reg_cfg.max_reg_blocks, spec.max_blocks)
     S_pad = _next_pow2(len(layers))
     padded_layers = list(layers) + [layers[0]] * (S_pad - len(layers))
-    sdf_flat, w_flat, bi = _stack_fields(padded_layers, R)
+    # the stacked field is ~1 GB of HBM traffic + ~200 eager dispatches
+    # to rebuild; under the send-once submap discipline the layers are
+    # immutable between refreshes, so a caller-owned cache keyed on the
+    # layer identities skips the rebuild on every steady-state solve
+    key = (R, tuple(id(l.sdf) for l in padded_layers))
+    if stack_cache is not None and stack_cache.get("key") == key:
+        sdf_flat, w_flat, bi = stack_cache["fields"]
+    else:
+        sdf_flat, w_flat, bi = _stack_fields(padded_layers, R)
+        if stack_cache is not None:
+            stack_cache["key"] = key
+            stack_cache["fields"] = (sdf_flat, w_flat, bi)
     # pairs: same bucketing; padded pairs carry valid=False → zero terms
     P_pad = _next_pow2(len(rpairs))
     pair_i = np.zeros((P_pad,), np.int32)

@@ -203,6 +203,7 @@ def main():
             intra_refuse_interval=2.0,
             async_pgo=True, nonblocking_pgo=True,
             min_solve_interval=4.0,
+            max_registration_pairs=64,
             registration_weight=30.0,
             # solve sized to the mission: submaps carry ≲400 live blocks
             # (union watermark ~310), so max_reg_blocks=512 halves the
