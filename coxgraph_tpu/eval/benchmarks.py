@@ -340,17 +340,19 @@ def solve_benchmark(reg_iterations: int = 6, repeats: int = 3) -> dict:
 
     init, cons, layers, spec, reg_cfg, solver_cfg, fixed = \
         solve_benchmark_problem()
-    # per-submap surface-point caches held across calls, as the server
-    # holds them across optimizes (ServerSubmap.reg_cache) — the timed
-    # call measures steady-state operation
+    # per-submap surface-point caches AND the stacked-field cache held
+    # across calls, as the server holds them across optimizes
+    # (ServerSubmap.reg_cache / CoxgraphServer._reg_stack_cache) — the
+    # timed call measures steady-state operation
     caches = [None] * len(layers)
+    stack_cache: dict = {}
 
     def solve():
         return global_opt.optimize_two_phase(
             init, cons, spec, layers, reg_cfg=reg_cfg,
             solver_cfg=solver_cfg, registration_weight=30.0,
             reg_iterations=reg_iterations, fixed=fixed,
-            reg_caches=caches)
+            reg_caches=caches, stack_cache=stack_cache)
 
     poses, info = solve()                       # warmup / compile
     float(jnp.sum(poses))                       # readback fence

@@ -91,7 +91,9 @@ class IncrementalMesher:
         data loss, counters ``buffer_growths``/``capacity_growths``), so
         the cached mesh is always complete. Growth is sticky: later
         updates start at the learned capacities."""
-        from ..utils.hostops import bucket_slice_cols
+        import jax
+
+        from ..utils.hostops import bucket_slice_cols_pair
 
         if not ids:
             return
@@ -105,9 +107,11 @@ class IncrementalMesher:
                     self.spec, layer, self.chunk, self.min_weight,
                     self.max_tris, jnp.asarray(padded),
                     cap_mult=self.cap_mult)
-            offs_h = np.asarray(offs)[:len(ids)]
-            cnts_h = np.asarray(cnts)[:len(ids)]
-            totals_h = np.asarray(totals)[:len(ids)]
+            # ONE combined readback for all the small per-chunk tables
+            # (three separate np.asarray pulls each queued behind any
+            # in-flight program on a shared chip)
+            offs_h, cnts_h, totals_h = (
+                x[:len(ids)] for x in jax.device_get((offs, cnts, totals)))
             # true buffer end = max over chunks (the last chunk may be
             # empty, and on overflow the clamped running offset parks at
             # exactly max_tris — offs[-1]+cnts[-1] would miss it)
@@ -142,15 +146,17 @@ class IncrementalMesher:
                 "maximum per-chunk capacity", RuntimeWarning, stacklevel=3)
         if used:
             if self.quantize:
-                mn_h = np.asarray(mn, np.float32)
-                s = float(scale)
-                vflat = (bucket_slice_cols(qv, used).T.astype(np.float32)
-                         * s + np.tile(mn_h, 3)[None, :])
-                cflat = (bucket_slice_cols(qc, used).T.astype(np.float32)
-                         / 255.0)
+                mn_h, s = jax.device_get((mn, scale))
+                mn_h = np.asarray(mn_h, np.float32)
+                s = float(s)
+                qvh, qch = bucket_slice_cols_pair(qv, qc, used)
+                vflat = (qvh.T.astype(np.float32) * s
+                         + np.tile(mn_h, 3)[None, :])
+                cflat = qch.T.astype(np.float32) / 255.0
             else:
-                vflat = bucket_slice_cols(verts, used).T
-                cflat = bucket_slice_cols(cols, used).T
+                vh, ch = bucket_slice_cols_pair(verts, cols, used)
+                vflat = vh.T
+                cflat = ch.T
             vflat = np.ascontiguousarray(vflat).reshape(-1, 3, 3)
             cflat = np.ascontiguousarray(cflat).reshape(-1, 3, 3)
         for i, cid in enumerate(ids):

@@ -39,6 +39,28 @@ def bucket_slice(x, n: int) -> np.ndarray:
     return np.asarray(fn(x))[:n]
 
 
+def bucket_slice_cols_pair(a, b, n: int):
+    """bucket_slice_cols of TWO same-width buffers with ONE combined
+    device_get — on a busy shared chip every separate readback queues
+    behind whatever program is in flight, so pairing halves the stall
+    toll (mesher vertex+color pulls)."""
+    if n <= 0:
+        return (np.zeros(a.shape[:-1] + (0,), a.dtype),
+                np.zeros(b.shape[:-1] + (0,), b.dtype))
+    outs = []
+    for x in (a, b):
+        kb = min(1 << (n - 1).bit_length(), x.shape[-1])
+        key = ("cols", x.shape, str(x.dtype), kb)
+        fn = _SLICE_CACHE.get(key)
+        if fn is None:
+            fn = jax.jit(lambda arr, _kb=kb: jax.lax.slice_in_dim(
+                arr, 0, _kb, axis=x.ndim - 1))
+            _SLICE_CACHE[key] = fn
+        outs.append(fn(x))
+    ah, bh = jax.device_get(tuple(outs))
+    return np.asarray(ah)[..., :n], np.asarray(bh)[..., :n]
+
+
 def bucket_slice_cols(x, n: int) -> np.ndarray:
     """First n COLUMNS of a 2-D device array as numpy (bucketed like
     bucket_slice) — for plane-layout buffers whose minor axis is the

@@ -629,6 +629,9 @@ def test_optimize_uses_cached_geometry_no_per_submap_readbacks(
     sa = server.candidate_log[-1]["sa"]
     assert server.submaps[sa].reg_cache is not None
     server.collect_all_submaps()
+    # geometry fills lazily (ONE batched device_get at optimize /
+    # state_query time — never on the fusion thread)
+    server._ensure_geometry()
     for s in server.submaps:
         assert s.aabb is not None and s.aabb.shape == (2, 3)
         assert s.n_blocks > 0
