@@ -111,14 +111,18 @@ class LiveMeshViewer:
         self.n_updates += 1
         return self.html_path
 
-    def update_from_mapper(self, mapper) -> str:
+    def update_from_mapper(self, mapper, **mesh_kwargs) -> str:
         """Render a client HostMapper's live map via the INCREMENTAL
         mesh path (HostMapper.live_mesh_odom): each update re-meshes only
         the blocks integrated since the previous one, so the per-update
         cost tracks changed geometry rather than map size (VERDICT r3
         Missing #1 — the reference's frame-rate submap mesh streaming,
-        map_server.cpp:119-152)."""
-        verts, cols = mapper.live_mesh_odom()
+        map_server.cpp:119-152). ``mesh_kwargs`` forward to the
+        per-submap IncrementalMeshers — streaming missions should pass
+        a real min_weight (e.g. 0.1) and a generous fixed max_tris: the
+        1e-4 default meshes every grazing observation (3-4× the
+        triangles) and buffer auto-growth recompiles the extractor."""
+        verts, cols = mapper.live_mesh_odom(**mesh_kwargs)
         return self.update(
             verts.reshape(-1, 3),
             np.round(np.clip(cols.reshape(-1, 3), 0, 1) * 255

@@ -416,6 +416,11 @@ class HostMapper:
         # dirty bitmaps was 2 dispatches + a readback EACH per update —
         # ~20 s/update on the round-5 endurance pipeline)
         self._touched_submaps: set = set()
+        # odom-frame transformed-soup cache per submap (pose, verts,
+        # cols): clean submaps at an unchanged pose skip the host
+        # re-transform too — transform_points_np over a 20-submap
+        # million-triangle union was seconds of host math per update
+        self._odom_soup_cache: dict = {}
         # deferred window-overflow check: step_batch schedules an ASYNC
         # host copy of the union counters after each window and consumes
         # the previous window's (already-landed) values at the next call
@@ -657,19 +662,29 @@ class HostMapper:
         poses = np.asarray(self.state.collection.T_odom_submap)
         vs, cs = [], []
         for k in range(n):
-            if k in self._meshers and k not in self._touched_submaps:
-                # nothing integrated since this submap's last refresh:
-                # its cached soup is current — zero device work (the
-                # re-posing below still applies any pose update;
-                # live_mesher() validates kwargs against the cache)
+            clean = k in self._meshers and k not in self._touched_submaps
+            cached = self._odom_soup_cache.get(k)
+            if clean and cached is not None \
+                    and np.array_equal(cached[0], poses[k]):
+                # unchanged geometry at an unchanged pose: reuse the
+                # transformed soup outright (zero device AND host work)
+                vs.append(cached[1])
+                cs.append(cached[2])
+                continue
+            if clean:
+                # geometry current, pose moved: cached soup, re-transform
+                # (live_mesher() validates kwargs against the cache)
                 v, c = self.live_mesher(k, **kwargs).mesh()
             else:
                 v, c = self.live_mesh(k, **kwargs)
             if v.shape[0] == 0:
+                self._odom_soup_cache.pop(k, None)
                 continue
             vw = geo.transform_points_np(
                 poses[k], v.reshape(-1, 3)).reshape(-1, 3, 3)
-            vs.append(vw.astype(np.float32))
+            vw = vw.astype(np.float32)
+            self._odom_soup_cache[k] = (poses[k].copy(), vw, c)
+            vs.append(vw)
             cs.append(c)
         if not vs:
             z = np.zeros((0, 3, 3), np.float32)
@@ -756,7 +771,15 @@ class HostMapper:
         # disables the mirror rather than paying a readback per window)
         T_host = (self._mirror_host_pose(T_odom_cams)
                   if self.mirror_enabled else None)
-        ts = np.asarray(ts, np.float32)
+        # rollover bookkeeping in FLOAT64: an f32 downcast loses ~4 µs
+        # of resolution per minute of mission time, so `t - last_start >=
+        # interval - 1e-6` starts failing at exact window boundaries a
+        # few minutes in — the rollover then fires ONE FRAME LATE and
+        # splits the window into odd-length segments, each a fresh
+        # multi-second tunnel program (the round-5 endurance lost ~100 s
+        # of "integrate" wall to exactly this; the device still gets f32
+        # stamps via jnp.asarray below)
+        ts = np.asarray(ts, np.float64)
         F = len(ts)
         starts = []          # frame indices where a rollover fires
         last = self.last_start

@@ -92,6 +92,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--laps", type=int, default=6)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--no-loops", action="store_true",
+                    help="diagnostic: skip keyframes/fusions entirely "
+                         "(isolates the stream+serve side)")
     ap.add_argument("--scale", type=float, default=0.25)
     ap.add_argument("--out", default=os.path.join(ROOT, "ENDURANCE_r05.json"))
     args = ap.parse_args()
@@ -301,15 +304,29 @@ def main():
             stage["local_pgo"] += time.perf_counter() - t0
             # hand this window's keyframes to the detector thread (the
             # frames exist in the map now — reference topic causality)
-            for k in range(w0, w0 + WINDOW, KF_STRIDE):
-                for r in range(2):
-                    kf_jobs.put((r, k, (lap * N_LAP + k) * DT))
+            if not args.no_loops:
+                for k in range(w0, w0 + WINDOW, KF_STRIDE):
+                    for r in range(2):
+                        kf_jobs.put((r, k, (lap * N_LAP + k) * DT))
         # incremental live mesh of robot 0 (the streaming serving path);
         # live_mesh DONATES mapper state → under the client lock
         t0 = time.perf_counter()
         with clients[0].lock:
             mappers[0].state = clients[0].state
-            viewer.update_from_mapper(mappers[0])
+            # ACTIVE-submap delta streaming (the reference's per-submap
+            # mesh publishing cadence, map_server.cpp:119-152): only the
+            # changed chunks of the submap being built cross the link.
+            # Re-meshing the whole odom union shipped every finished
+            # submap's full (duplicated) surface again — 3-4M triangles,
+            # ~16 s of tunnel transfer per update. Real observation gate
+            # + fixed buffer: the 1e-4 default meshed every grazing
+            # observation and buffer auto-growth recompiled the
+            # extractor mid-mission.
+            v_live, c_live = mappers[0].live_mesh(min_weight=0.1,
+                                                  max_tris=1 << 20)
+            viewer.update(v_live.reshape(-1, 3),
+                          np.round(np.clip(c_live.reshape(-1, 3), 0, 1)
+                                   * 255).astype(np.uint8))
             clients[0].state = mappers[0].state
         stage["live_mesh"] += time.perf_counter() - t0
         live_updates += 1
