@@ -68,6 +68,12 @@ class LoopDetectorConfig:
     # dispatch: bounds the (chunk, K, K) Hamming intermediate (a flat
     # vmap at 2048 keyframes × 384² would stage ~1.2 GB)
     match_chunk: int = 128
+    # frames per fused ingest sub-batch (add_keyframes_batch): one
+    # detect + one match/verify dispatch + ONE readback per sub-batch —
+    # the readback's queue-stall toll divides by this. The Hamming
+    # transient scales as batch_size × match_chunk × K² (drop
+    # match_chunk when raising it).
+    batch_size: int = 4
 
 
 @dataclasses.dataclass
@@ -342,8 +348,6 @@ class LoopDetector:
         self.total_keyframes += 1
         return msgs
 
-    _BATCH = 4      # fixed sub-batch size (one compiled program)
-
     def add_keyframes_batch(self, items,
                             key: Optional[Array] = None
                             ) -> List[MapFusionMsg]:
@@ -368,8 +372,9 @@ class LoopDetector:
             self._last_kf_time[cid] = t
             todo.append((cid, t, c, d))
         msgs: List[MapFusionMsg] = []
-        while len(todo) >= self._BATCH:
-            chunk, todo = todo[:self._BATCH], todo[self._BATCH:]
+        B = self.cfg.batch_size
+        while len(todo) >= B:
+            chunk, todo = todo[:B], todo[B:]
             msgs.extend(self._ingest_chunk(chunk, key))
         for cid, t, c, d in todo:
             kp = ft.detect_and_describe(self.intr, c, d, self.cfg.features)
