@@ -321,7 +321,14 @@ def main():
                         dw, cw, odom_all[r][osl], ts)
                     clients[r].state = mappers[r].state
             stage["integrate"] += time.perf_counter() - t0
-            # deferred local solves accumulated from forwarded closures
+            # deferred local solves accumulated from forwarded closures.
+            # NOTE: pose deltas are NOT published back to the server —
+            # measured WORSE both mid-stream (client-push ⇄ server-push
+            # tug: the two solvers overwrite each other's corrections)
+            # and at mission end (chains rebuilt from locally-corrected
+            # poses double-count closures that the global graph already
+            # holds as fusion constraints). Server chains stay raw
+            # odometry measurements.
             t0 = time.perf_counter()
             for r in range(2):
                 with clients[r].lock:
