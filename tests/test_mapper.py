@@ -455,3 +455,36 @@ def test_host_mirror_serving_matches_device_path():
     cli.state = mapper.state
     assert not mapper.mirror_enabled
     assert len(cli.get_all_submaps()) == mapper.n_submaps
+
+
+def test_window_boundary_rollovers_stay_exact_at_mission_timescales():
+    """Round-5 regression: step_batch keeps rollover bookkeeping in
+    FLOAT64. With the old f32 downcast, `t - last_start >= interval -
+    1e-6` started failing at EXACT window boundaries a few minutes into
+    a mission (f32 resolution at t≈60 s is ~4 µs) — the rollover fired
+    one frame late and split the window into odd-length segments, each
+    a fresh multi-second tunnel compile (~100 s of the round-5
+    endurance soak, invisible in stage timings)."""
+    import numpy as np
+
+    from coxgraph_tpu.frontends import synthetic as syn
+
+    WINDOW, DT = 24, 0.1
+    cfg = sm.MapperConfig(
+        spec=vx.VoxelGridSpec(voxel_size=0.2, voxels_per_side=8,
+                              grid_dim=16, max_blocks=64, truncation=0.6),
+        integrator=tsdf_ops.TsdfIntegratorConfig(max_touched_blocks=32),
+        intrinsics=syn.PinholeIntrinsics().scaled(0.025),   # 16x12
+        max_submaps=64, max_history=32,
+        submap_interval=WINDOW * DT)
+    mapper = sm.HostMapper(cfg)
+    depth = jnp.full((WINDOW, 12, 16), 2.0, jnp.float32)
+    poses = np.tile(np.array([1, 0, 0, 0, 0, 0, 0], np.float32),
+                    (WINDOW, 1))
+    for w in range(40):                       # 96 s of mission time
+        ts = (np.arange(WINDOW) + w * WINDOW) * DT   # float64 stamps
+        started = mapper.step_batch(depth, None, poses, ts)
+        # exactly ONE rollover per window, fired at the BOUNDARY frame
+        assert started == 1, (w, started)
+        assert mapper.last_start == float(ts[0]), (w, mapper.last_start)
+    assert mapper.n_submaps == 40
