@@ -40,6 +40,21 @@ def test_popcount():
     np.testing.assert_array_equal(got, [0, 1, 2, 32, 16])
 
 
+def test_hamming_matrix_matmul_form_exact():
+    """The MXU ±1-matmul Hamming form is bit-exact against the
+    xor+popcount definition (dot = nbits − 2·hamming; |dot| ≤ 256 is
+    integer-exact under f32 accumulation)."""
+    rng = np.random.default_rng(7)
+    da = jnp.asarray(rng.integers(0, 2**32, (33, ft._N_WORDS),
+                                  dtype=np.uint32))
+    db = jnp.asarray(rng.integers(0, 2**32, (21, ft._N_WORDS),
+                                  dtype=np.uint32))
+    ref = np.asarray(jnp.sum(ft._popcount32(
+        da[:, None, :] ^ db[None, :, :]), axis=-1), np.int32)
+    got = np.asarray(ft.hamming_matrix(da, db))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_self_matching_is_identity():
     scene = textured_scene()
     T = syn.orbit_trajectory(1, scene.room_center, radius=2.5)[0]
