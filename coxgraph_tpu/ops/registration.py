@@ -38,8 +38,17 @@ class RegistrationConfig:
     huber_delta: float = 0.1      # m, robust loss on sdf residuals
     iterations: int = 12          # GN iterations for pairwise alignment
     damping: float = 1e-3
+    # LM iterations per DEVICE PROGRAM in the batched phase-2 solve
+    # (global_opt._phase2_chunk). 0 ⇒ all iterations in one fused
+    # program (lowest solve wall — bench/offline solves). On a shared
+    # chip, every other thread's readback queues behind the in-flight
+    # program (CLAUDE.md shared-chip rule), so streaming servers set
+    # this to 1-2: the carry stays on device (no extra readbacks, ~1 ms
+    # extra dispatch each) while the longest program drops from the
+    # whole solve to one-two iterations.
+    phase2_dispatch_iters: int = 0
     # Block budget per submap in the STACKED field view of the batched
-    # phase-2 solve (global_opt._phase2_solve): live pool rows [0, R) of
+    # phase-2 solve (global_opt._phase2_chunk): live pool rows [0, R) of
     # every submap are stacked into one (S·R, v³) field so all pairs
     # sample in ONE dispatch. Blocks beyond R (late allocations in very
     # large submaps) fall out of the registration sampling only — the

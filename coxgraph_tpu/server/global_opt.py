@@ -244,22 +244,20 @@ def make_registration_pairs(spec: vx.VoxelGridSpec,
     return out
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4))
-def _phase2_solve(spec: vx.VoxelGridSpec, poses: Array,
+def _phase2_funcs(spec: vx.VoxelGridSpec,
                   constraints: pg.RelPoseConstraints,
-                  solver_cfg: pg.SolverConfig, reg_iterations: int,
-                  fixed_all: Array,
+                  solver_cfg: pg.SolverConfig, fixed_all: Array,
                   sdf_flat: Array, w_flat: Array, bi: Array,
                   pair_i: Array, pair_j: Array, pair_valid: Array,
                   pts: Array, sdfA: Array, maskA: Array,
                   w2: Array, huber_delta: Array,
-                  heights: Optional[pg.HeightConstraints] = None):
-    """Joint phase-2 LM: relative-pose constraints + dense registration
-    residuals of ALL pairs, every GN iteration fused into this ONE
-    compiled program (the round-1 version issued one
-    registration_normal_eq dispatch per pair per iteration from a host
-    loop — hundreds of ~1.3 ms tunnel round trips per solve at 64
-    submaps; see docs/PERFORMANCE.md 'Server-solve discipline').
+                  heights: Optional[pg.HeightConstraints]):
+    """Build the (step, total_cost) closures of the joint phase-2 LM —
+    relative-pose constraints + dense registration residuals of ALL
+    pairs (the round-1 version issued one registration_normal_eq
+    dispatch per pair per iteration from a host loop — hundreds of
+    ~1.3 ms tunnel round trips per solve at 64 submaps; see
+    docs/PERFORMANCE.md 'Server-solve discipline').
 
     Trust behavior matches the reference's Ceres LM (trust-region
     accept/reject + damping adaptation, pose_graph_interface.cpp:32-49):
@@ -268,7 +266,6 @@ def _phase2_solve(spec: vx.VoxelGridSpec, poses: Array,
 
     Shapes: pair_i/j/valid (P,), pts (P,Q,3), sdfA/maskA (P,Q); padded
     pairs carry valid=False and contribute exactly zero."""
-    n = poses.shape[0]
     S = bi.shape[0]
     R = sdf_flat.shape[0] // S
 
@@ -284,6 +281,8 @@ def _phase2_solve(spec: vx.VoxelGridSpec, poses: Array,
                           w2 / jnp.maximum(nins.astype(w2.dtype), 1.0), 0.0)
         return (Hs * scale[:, None, None], bs * scale[:, None],
                 jnp.sum(costs * scale))
+
+    n = fixed_all.shape[0]
 
     def assemble(cur_poses):
         H, b, c_rel = pg._build_normal_equations(cur_poses, constraints,
@@ -327,10 +326,48 @@ def _phase2_solve(spec: vx.VoxelGridSpec, poses: Array,
         lam = jnp.clip(lam, 1e-9, 1e6)
         return (cur_poses, lam), cost
 
-    (out, _), cost_trace = jax.lax.scan(
-        step, (poses, jnp.asarray(solver_cfg.damping_init)), None,
-        length=reg_iterations)
-    return out, cost_trace, total_cost(out)
+    return step, total_cost
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5))
+def _phase2_chunk(spec: vx.VoxelGridSpec, poses: Array, lam: Array,
+                  constraints: pg.RelPoseConstraints,
+                  solver_cfg: pg.SolverConfig, n_iters: int,
+                  fixed_all: Array,
+                  sdf_flat: Array, w_flat: Array, bi: Array,
+                  pair_i: Array, pair_j: Array, pair_valid: Array,
+                  pts: Array, sdfA: Array, maskA: Array,
+                  w2: Array, huber_delta: Array,
+                  heights: Optional[pg.HeightConstraints] = None):
+    """``n_iters`` phase-2 LM iterations from the (poses, lam) carry →
+    (poses, lam, cost_trace (n_iters,)). The carry stays ON DEVICE
+    between chunks — chunking adds dispatches (~1.3 ms each), never
+    readbacks. See RegistrationConfig.phase2_dispatch_iters for why the
+    solve is split at all (shared-chip queue stalls)."""
+    step, _ = _phase2_funcs(spec, constraints, solver_cfg, fixed_all,
+                            sdf_flat, w_flat, bi, pair_i, pair_j,
+                            pair_valid, pts, sdfA, maskA, w2,
+                            huber_delta, heights)
+    (out, lam), cost_trace = jax.lax.scan(
+        step, (poses, lam), None, length=n_iters)
+    return out, lam, cost_trace
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _phase2_final_cost(spec: vx.VoxelGridSpec, poses: Array,
+                       constraints: pg.RelPoseConstraints,
+                       solver_cfg: pg.SolverConfig, fixed_all: Array,
+                       sdf_flat: Array, w_flat: Array, bi: Array,
+                       pair_i: Array, pair_j: Array, pair_valid: Array,
+                       pts: Array, sdfA: Array, maskA: Array,
+                       w2: Array, huber_delta: Array,
+                       heights: Optional[pg.HeightConstraints] = None):
+    """Combined (relpose + weighted registration) cost at ``poses``."""
+    _, total_cost = _phase2_funcs(spec, constraints, solver_cfg,
+                                  fixed_all, sdf_flat, w_flat, bi,
+                                  pair_i, pair_j, pair_valid, pts, sdfA,
+                                  maskA, w2, huber_delta, heights)
+    return total_cost(poses)
 
 
 def optimize_two_phase(poses: Array,
@@ -402,7 +439,8 @@ def optimize_two_phase(poses: Array,
         touched[p.j] = True
     fixed_all = jnp.asarray(fixed_np | ~touched)
 
-    # -- batched joint solve: ONE program for all pairs × iterations ----
+    # -- batched joint solve: all pairs batched per program; iterations
+    # fused or chunked per phase2_dispatch_iters ----------------------
     # submap fields: pad the stack to a power-of-two count so recompiles
     # happen at bucket boundaries only (remote-TPU compile discipline,
     # utils/hostops); padded slots are never addressed (no pair uses them)
@@ -436,19 +474,39 @@ def optimize_two_phase(poses: Array,
                       + [jnp.zeros_like(rpairs[0].mask_i)]
                       * (P_pad - len(rpairs)))
 
-    poses, cost_trace, final_cost = _phase2_solve(
-        spec, poses, constraints, solver_cfg, reg_iterations, fixed_all,
-        sdf_flat, w_flat, bi,
-        jnp.asarray(pair_i), jnp.asarray(pair_j), jnp.asarray(pair_valid),
-        pts, sdfA, maskA,
-        jnp.asarray(registration_weight ** 2, jnp.float32),
-        jnp.asarray(reg_cfg.huber_delta, jnp.float32),
+    field_args = (sdf_flat, w_flat, bi,
+                  jnp.asarray(pair_i), jnp.asarray(pair_j),
+                  jnp.asarray(pair_valid), pts, sdfA, maskA,
+                  jnp.asarray(registration_weight ** 2, jnp.float32),
+                  jnp.asarray(reg_cfg.huber_delta, jnp.float32))
+    # Iterations run in chunks of phase2_dispatch_iters (0 ⇒ one fused
+    # program). The (poses, lam) carry stays on device, so chunking adds
+    # zero readbacks and at most one extra compile (the remainder chunk)
+    # — but on a SHARED chip it bounds how long any other thread's
+    # readback can queue behind the solve (CLAUDE.md shared-chip rule:
+    # a 25 ms detector readback behind a fused 3 s solve program costs
+    # 3 s; behind a sub-second chunk it costs that chunk).
+    di = reg_cfg.phase2_dispatch_iters
+    chunk = reg_iterations if di <= 0 else min(di, reg_iterations)
+    lam = jnp.asarray(solver_cfg.damping_init, jnp.float32)
+    traces = []
+    done = 0
+    while done < reg_iterations:
+        it = min(chunk, reg_iterations - done)
+        poses, lam, tr = _phase2_chunk(
+            spec, poses, lam, constraints, solver_cfg, it, fixed_all,
+            *field_args, heights=heights)
+        traces.append(tr)
+        done += it
+    final_cost = _phase2_final_cost(
+        spec, poses, constraints, solver_cfg, fixed_all, *field_args,
         heights=heights)
 
     info["phase2_relpose_cost"] = float(
         pg._total_cost(poses, constraints, solver_cfg, heights))
     # combined (relpose + weighted registration) LM cost per iteration +
     # final — accept/reject makes this monotonically non-increasing
-    info["phase2_cost_trace"] = [float(c) for c in np.asarray(cost_trace)
-                                 ] + [float(final_cost)]
+    info["phase2_cost_trace"] = [
+        float(c) for t in traces for c in np.asarray(t)
+    ] + [float(final_cost)]
     return poses, info

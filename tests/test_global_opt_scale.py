@@ -1,6 +1,7 @@
 """Scale + trust-region behavior of the batched phase-2 registration
-solve (global_opt._phase2_solve): 64 submaps, 100+ overlapping pairs,
-ONE compiled program for all pairs × GN iterations with LM
+solve (global_opt._phase2_chunk): 64 submaps, 100+ overlapping pairs,
+all pairs batched per compiled program (iterations fused or chunked per
+phase2_dispatch_iters) with LM
 accept/reject — the reference's Ceres trust behavior
 (pose_graph_interface.cpp:32-49). Gates: wall-clock after warmup in
 single-digit seconds, monotonically non-increasing combined cost, and
@@ -151,6 +152,32 @@ def test_height_priors_pin_the_drift_mode(chain):
     trace = info["phase2_cost_trace"]
     for a, b in zip(trace[:-1], trace[1:]):
         assert b <= a * (1 + 1e-5), trace
+
+
+def test_phase2_chunked_dispatch_matches_fused(chain):
+    """phase2_dispatch_iters chunks the LM scan into short device
+    programs (shared-chip queue-stall bound) with the (poses, λ) carry
+    staying on device — the iteration sequence is IDENTICAL, so poses
+    and the cost trace must match the fused program to float tolerance
+    (2-iteration chunks over 6 iterations exercise even chunking; 4
+    exercises the remainder-chunk program)."""
+    init, cons, layers, _ = chain
+    fixed = np.zeros((N,), bool)
+    fixed[0] = True
+    ref_poses, ref_info = run_solve(chain)
+    for di in (2, 4):
+        rcfg = dataclasses.replace(RCFG, phase2_dispatch_iters=di)
+        poses, info = global_opt.optimize_two_phase(
+            init, cons, SPEC, layers, reg_cfg=rcfg,
+            solver_cfg=pg.SolverConfig(iterations=10),
+            registration_weight=30.0, reg_iterations=6,
+            fixed=jnp.asarray(fixed))
+        np.testing.assert_allclose(np.asarray(poses),
+                                   np.asarray(ref_poses),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(info["phase2_cost_trace"],
+                                   ref_info["phase2_cost_trace"],
+                                   rtol=1e-4)
 
 
 def test_phase2_zero_pairs_short_circuits(chain):

@@ -218,9 +218,15 @@ def main():
             # per-solve stacked field ((S·R, v³) rebuilt every solve);
             # 512 surface points is the reference's own subsampling
             # spirit (sampling_ratio 0.3, server.yaml:30)
-            registration=fs.reg.RegistrationConfig(max_points=512,
-                                                   iterations=8,
-                                                   max_reg_blocks=512)),
+            # phase2_dispatch_iters=1: the solve runs as per-iteration
+            # device programs (carry on device, zero extra readbacks) so
+            # detector/mesh readbacks queue behind ≤1 LM iteration
+            # instead of the whole fused multi-second solve — the
+            # round-5 shared-chip rule's "keep the longest device
+            # program short" applied to the solver itself
+            registration=fs.reg.RegistrationConfig(
+                max_points=512, iterations=8, max_reg_blocks=512,
+                phase2_dispatch_iters=1)),
         clients)
     detector = ld.LoopDetector(
         cfg.intrinsics,
