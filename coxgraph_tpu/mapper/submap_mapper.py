@@ -639,6 +639,25 @@ class HostMapper:
         with an async-PGO server — must call this under that client's
         lock and rebind ``client.state = mapper.state`` afterwards, or
         the alias points at deleted buffers."""
+        return self.live_mesh_async(k, **kwargs)()
+
+    def live_mesh_async(self, k: Optional[int] = None, **kwargs):
+        """Lock-held half of :meth:`live_mesh` for PIPELINED serving:
+        consume submap ``k``'s dirty bits and capture a fresh layer
+        slice, then return a zero-arg ``finish()`` that performs the
+        chunk extraction dispatch + host readback — to be called OFF
+        the owning client's lock, so multi-second mesh readbacks (which
+        queue behind any in-flight solve on a shared chip) never stall
+        the integration thread. The reference serves meshes from a
+        separate map_server node for exactly this reason
+        (map_server.cpp:77-152: publishing must not block integration).
+
+        Safety: ``get_layer`` is a jitted gather whose output buffers
+        are INDEPENDENT of the mapper state, so they survive later
+        state donations by step/step_batch. Contract: call this method
+        under the client's lock and rebind ``client.state`` before
+        releasing it; call ``finish()`` from ONE serving thread only
+        (the per-submap mesher caches are unlocked)."""
         if k is None:
             k = max(self.n_submaps - 1, 0)
         self._consume_pending_stats()   # before donating state
@@ -647,9 +666,13 @@ class HostMapper:
         mesher = self.live_mesher(k, **kwargs)
         layer = get_layer(self.state.collection.layers,
                           jnp.asarray(k, jnp.int32))
-        mesher.update(layer, row)
         self._touched_submaps.discard(k)
-        return mesher.mesh()
+
+        def finish():
+            mesher.update(layer, row)
+            return mesher.mesh()
+
+        return finish
 
     def live_mesh_odom(self, **kwargs):
         """All submaps' cached live meshes concatenated in the ODOM frame

@@ -181,6 +181,45 @@ def test_live_mesh_streams_incrementally():
     assert np.array_equal(v3, v2)
 
 
+def test_live_mesh_async_survives_state_donation():
+    """live_mesh_async splits serving into a lock-held dispatch half and
+    an off-lock finish() (the pipelined map_server cadence,
+    map_server.cpp:77-152). The captured layer slice must survive a
+    donating step_batch issued BETWEEN the two halves (get_layer output
+    buffers are independent of the mapper state), and finish() must
+    return exactly the geometry as of dispatch time."""
+    cfg = _mapper_cfg()
+    scene = syn.default_scene()
+    traj = syn.orbit_trajectory(3, scene.room_center, radius=2.5,
+                                sweep=0.06 * jnp.pi)
+
+    # reference: synchronous live_mesh after frame 0
+    ref = sm.HostMapper(cfg)
+    depth0, color0 = syn.render_depth(scene, cfg.intrinsics, traj[0])
+    ref.step(depth0, color0, traj[0], 0.0)
+    v_ref, c_ref = ref.live_mesh(quantize=False)
+
+    mapper = sm.HostMapper(cfg)
+    mapper.step(depth0, color0, traj[0], 0.0)
+    finish = mapper.live_mesh_async(quantize=False)
+    # donate the state between dispatch and readback (the stream thread
+    # integrating while the serving thread reads back)
+    depth1, color1 = syn.render_depth(scene, cfg.intrinsics, traj[1])
+    mapper.step_batch(depth1[None], color1[None],
+                      np.asarray(traj[1])[None], np.asarray([0.1]))
+    v_async, c_async = finish()
+    assert np.array_equal(v_async, v_ref)
+    assert np.array_equal(c_async, c_ref)
+
+    # frame 1's dirty bits were NOT consumed by the async serve → the
+    # next synchronous call re-meshes them and matches full extraction
+    v2, _ = mapper.live_mesh(quantize=False)
+    layer = sm.get_layer(mapper.state.collection.layers, jnp.asarray(0))
+    v_full, _ = mesh_ops.extract_mesh(cfg.spec, layer, chunk=16,
+                                      quantize=False)
+    assert np.array_equal(v2, v_full)
+
+
 def test_live_mesh_odom_and_submap_msg_soup():
     """live_mesh_odom stitches per-submap incremental meshes in the odom
     frame, and MapServer.submap_mesh_msg accepts the incremental soup

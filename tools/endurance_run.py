@@ -7,8 +7,16 @@ dense integration never blocks on loop detection or optimization. This
 harness reproduces that overlap with the repo's own machinery:
 
   STREAM thread   — integrate_batch windows per robot (client lock),
-                    deferred local PGO drains, per-lap incremental live
-                    mesh. Never calls map_fusion or wait_for_optimize.
+                    deferred local PGO drains. Never calls map_fusion,
+                    wait_for_optimize, or a mesh readback.
+  SERVING thread  — per-lap incremental live mesh of robot 0 (the
+                    reference's separate map_server node,
+                    map_server.cpp:77-152): the lock-held half is just
+                    the dirty-consume + layer-slice dispatches
+                    (live_mesh_async), the multi-second extraction
+                    readback happens off-lock so it never stalls the
+                    stream; queued requests coalesce (dirty bits
+                    accumulate).
   DETECTOR thread — consumes keyframe jobs from a queue (posted as each
                     window lands), runs the fused one-dispatch
                     match+verify, routes MapFusion messages to the
@@ -291,9 +299,58 @@ def main():
     det_thread = threading.Thread(target=detector_loop, daemon=True)
     det_thread.start()
 
+    # -- serving thread (live mesh, the reference's map_server node) ----
+    serve_jobs: "queue.Queue" = queue.Queue()
+    serve_counts = {"updates": 0}
+
+    def serving_loop():
+        try:
+            while True:
+                job = serve_jobs.get()
+                if job is None:
+                    return
+                # coalesce queued requests: dirty bits accumulate, so one
+                # update covers every lap that requested while we served
+                while True:
+                    try:
+                        j2 = serve_jobs.get_nowait()
+                    except queue.Empty:
+                        break
+                    if j2 is None:
+                        serve_jobs.put(None)   # re-post the sentinel
+                        break
+                t0 = time.perf_counter()
+                # lock-held half: consume dirty bits + slice the layer
+                # (dispatches only — no readback under the lock).
+                # ACTIVE-submap delta streaming (per-submap mesh publish
+                # cadence, map_server.cpp:119-152): only the changed
+                # chunks of the submap being built cross the link.
+                # min_weight 0.1 (the 1e-4 default meshes every grazing
+                # observation) + fixed max_tris (buffer auto-growth
+                # would recompile the extractor mid-mission).
+                with clients[0].lock:
+                    mappers[0].state = clients[0].state
+                    finish = mappers[0].live_mesh_async(
+                        min_weight=0.1, max_tris=1 << 20)
+                    clients[0].state = mappers[0].state
+                # off-lock half: extraction dispatch + host readback
+                # (queues behind in-flight solves WITHOUT stalling the
+                # stream thread)
+                v_live, c_live = finish()
+                viewer.update(v_live.reshape(-1, 3),
+                              np.round(np.clip(c_live.reshape(-1, 3),
+                                               0, 1)
+                                       * 255).astype(np.uint8))
+                stage["live_mesh"] += time.perf_counter() - t0
+                serve_counts["updates"] += 1
+        except Exception as e:  # noqa: BLE001 — surface, don't hang
+            det_errors.append(f"serving: {type(e).__name__}: {e}")
+
+    serve_thread = threading.Thread(target=serving_loop, daemon=True)
+    serve_thread.start()
+
     # -- stream thread (this thread) -----------------------------------
     t_start = time.time()
-    live_updates = 0
     kf_queue_max = 0
     max_window_lag = 0.0
     for lap in range(args.laps):
@@ -347,38 +404,22 @@ def main():
                 for k in range(w0, w0 + WINDOW, KF_STRIDE):
                     for r in range(2):
                         kf_jobs.put((r, k, (lap * N_LAP + k) * DT))
-        # incremental live mesh of robot 0 (the streaming serving path);
-        # live_mesh DONATES mapper state → under the client lock
-        t0 = time.perf_counter()
-        with clients[0].lock:
-            mappers[0].state = clients[0].state
-            # ACTIVE-submap delta streaming (the reference's per-submap
-            # mesh publishing cadence, map_server.cpp:119-152): only the
-            # changed chunks of the submap being built cross the link.
-            # Re-meshing the whole odom union shipped every finished
-            # submap's full (duplicated) surface again — 3-4M triangles,
-            # ~16 s of tunnel transfer per update. Real observation gate
-            # + fixed buffer: the 1e-4 default meshed every grazing
-            # observation and buffer auto-growth recompiled the
-            # extractor mid-mission.
-            v_live, c_live = mappers[0].live_mesh(min_weight=0.1,
-                                                  max_tris=1 << 20)
-            viewer.update(v_live.reshape(-1, 3),
-                          np.round(np.clip(c_live.reshape(-1, 3), 0, 1)
-                                   * 255).astype(np.uint8))
-            clients[0].state = mappers[0].state
-        stage["live_mesh"] += time.perf_counter() - t0
-        live_updates += 1
+        # request a live-mesh update from the serving thread (coalesces
+        # if serving is still busy with the previous lap's update)
+        serve_jobs.put(True)
         print(f"lap {lap + 1}/{args.laps}: fused {counts['fused']}, "
               f"kf queue {kf_jobs.qsize()}, "
               f"server submaps {len(server.submaps)}, "
               f"coalesced solves {server.coalesced_solves}")
     stream_wall = time.time() - t_start
 
-    # drain: detector finishes the queued tail, then the last solve lands
+    # drain: detector + serving finish their queued tails, then the last
+    # solve lands
     t0 = time.perf_counter()
     kf_jobs.put(None)
+    serve_jobs.put(None)
     det_thread.join()
+    serve_thread.join()
     server.process_mf_future()
     server.wait_for_optimize()
     for r in range(2):
@@ -499,7 +540,7 @@ def main():
         "dropped_submap_rollovers": [m.dropped_submaps for m in mappers],
         "server_dropped_constraints": int(server.constraints.num_dropped()),
         "dropped_keyframes": detector.dropped_keyframes,
-        "live_mesh_updates": live_updates,
+        "live_mesh_updates": serve_counts["updates"],
         "live_chunks_remeshed": sum(
             m.chunks_remeshed for mp in mappers for m in mp._meshers.values()),
         "final_mesh_tris": int(verts.shape[0]),
