@@ -78,12 +78,22 @@ def find_overlapping_pairs(spec: vx.VoxelGridSpec,
         aabbs = [submap_aabb(spec, layers[k]) for k in range(n)]
     if n_blocks is None:
         n_blocks = [int(l.num_blocks) for l in layers]
-    boxes = [transformed_aabb(aabbs[k], poses_np[k]) for k in range(n)]
+    # a None aabb is a submap appended by a nonblocking fusion AFTER the
+    # server's batched _ensure_geometry readback (fusion_server.optimize
+    # runs that readback OUTSIDE the state lock on purpose): it has no
+    # cached geometry yet, so it simply takes no registration pairs this
+    # solve — its odometry/fusion constraints still optimize it, and the
+    # coalesced follow-up solve (the fusion marked solve_pending) pairs
+    # it with fresh geometry.
+    boxes = [None if aabbs[k] is None
+             else transformed_aabb(aabbs[k], poses_np[k]) for k in range(n)]
     skip = set(skip_adjacent_same_client or [])
     pairs = []
     for i in range(n):
         for j in range(i + 1, n):
             if (i, j) in skip or (j, i) in skip:
+                continue
+            if boxes[i] is None or boxes[j] is None:
                 continue
             if n_blocks[i] and n_blocks[j] \
                     and aabb_overlap(boxes[i], boxes[j], margin):

@@ -188,3 +188,26 @@ def test_phase2_zero_pairs_short_circuits(chain):
         registration_weight=0.0)
     assert info["n_registration_pairs"] == 0
     assert np.all(np.isfinite(np.asarray(poses)))
+
+
+def test_overlap_pairs_skip_geometry_less_submaps(chain):
+    """A submap appended by a NONBLOCKING fusion between the server's
+    batched _ensure_geometry readback and the solve snapshot carries
+    aabb=None (fusion_server.optimize runs the readback outside the
+    state lock on purpose). find_overlapping_pairs must exclude it from
+    registration pairing instead of raising — it is still optimized via
+    its odometry/fusion constraints and pairs up on the coalesced
+    follow-up solve (observed once as a TypeError killing a mid-mission
+    endurance solve)."""
+    init, cons, layers, _ = chain
+    aabbs = [global_opt.submap_aabb(SPEC, layers[k]) for k in range(N)]
+    blocks = [int(layers[k].num_blocks) for k in range(N)]
+    ref = global_opt.find_overlapping_pairs(SPEC, layers, init,
+                                            aabbs=aabbs, n_blocks=blocks)
+    assert ref, "fixture should overlap"
+    aabbs_racy = list(aabbs)
+    aabbs_racy[N - 1] = None            # the freshly appended submap
+    pairs = global_opt.find_overlapping_pairs(SPEC, layers, init,
+                                              aabbs=aabbs_racy,
+                                              n_blocks=blocks)
+    assert pairs == [(i, j) for (i, j) in ref if N - 1 not in (i, j)]
